@@ -1,0 +1,21 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+Mirrors the reference's strategy of validating multi-backend logic on a single
+machine (SURVEY.md §4): Pallas kernels run in interpreter mode on CPU, and all
+sharding/collective tests use XLA's host-platform device simulation.
+"""
+import os
+
+# must be set before jax is imported anywhere
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
