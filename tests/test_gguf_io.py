@@ -1,0 +1,115 @@
+"""GGUF container round-trip tests + cross-validation against the reference
+writer via a golden fixture is covered by test_quant_codecs (payload level);
+here we validate the container itself, including interop with files written
+by the reference's gguf writer when available."""
+import numpy as np
+import pytest
+
+from ggml_imax_tpu.io import GGUFReader, GGUFWriter, read_legacy_bin
+from ggml_imax_tpu.quant import GGMLType, codecs
+
+
+def test_gguf_round_trip(tmp_path):
+    path = tmp_path / "test.gguf"
+    w = GGUFWriter(path)
+    w.add_kv("general.architecture", "gpt2")
+    w.add_kv("gpt2.context_length", np.uint32(1024))
+    w.add_kv("gpt2.embedding_length", np.uint32(768))
+    w.add_kv("sampling.temp", 0.8)
+    w.add_kv("flags.causal", True)
+    w.add_kv("tokenizer.ggml.tokens", ["hello", "world", "<|endoftext|>"])
+    w.add_kv("scores", np.arange(4, dtype=np.float32))
+    w.add_kv("ids", np.arange(10, dtype=np.int32))
+
+    rng = np.random.default_rng(0)
+    wte = rng.standard_normal((768, 64)).astype(np.float32)  # np shape (rows, cols)
+    q = codecs.quantize(wte, GGMLType.Q4_0)
+    w.add_tensor("wte_f32", wte, GGMLType.F32)
+    w.add_tensor("wte_q4", q, GGMLType.Q4_0, shape=(64, 768))  # ne-order
+    bias = np.arange(768, dtype=np.float32)
+    w.add_tensor("bias", bias, GGMLType.F32)
+    w.write()
+
+    r = GGUFReader(path)
+    assert r.version == 3
+    assert r.metadata["general.architecture"] == "gpt2"
+    assert r.metadata["gpt2.context_length"] == 1024
+    assert abs(r.metadata["sampling.temp"] - 0.8) < 1e-6
+    assert r.metadata["flags.causal"] is True
+    assert list(r.metadata["tokenizer.ggml.tokens"]) == ["hello", "world", "<|endoftext|>"]
+    assert np.array_equal(r.metadata["scores"], np.arange(4, dtype=np.float32))
+    assert np.array_equal(r.metadata["ids"], np.arange(10, dtype=np.int32))
+
+    assert r.tensors["wte_f32"].shape == (64, 768)
+    got = r.tensor_array("wte_f32")
+    assert got.shape == (768, 64)
+    assert np.array_equal(got, wte)
+
+    qinfo = r.tensors["wte_q4"]
+    assert qinfo.ggml_type == GGMLType.Q4_0
+    assert np.array_equal(r.tensor_data("wte_q4"), q)
+    deq = codecs.dequantize(r.tensor_data("wte_q4"), GGMLType.Q4_0, shape=(768, 64))
+    ref = codecs.dequantize(q, GGMLType.Q4_0, shape=(768, 64))
+    assert np.array_equal(deq, ref)
+
+    # alignment of every tensor payload
+    for name, ti in r.tensors.items():
+        assert (r.data_offset + ti.offset) % r.alignment == 0, name
+    r.close()
+
+
+def test_gguf_bad_magic(tmp_path):
+    p = tmp_path / "bad.gguf"
+    p.write_bytes(b"NOPE" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="magic"):
+        GGUFReader(p)
+
+
+def test_legacy_bin_round_trip(tmp_path):
+    import struct
+    p = tmp_path / "model.bin"
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((8, 64)).astype(np.float32)
+    q = codecs.quantize(w, GGMLType.Q8_0)
+    with open(p, "wb") as f:
+        f.write(struct.pack("<I", 0x67676D6C))
+        f.write(struct.pack("<6i", 100, 1024, 768, 12, 12, 2003))
+        f.write(struct.pack("<i", 2))
+        for tok in (b"a", b"bc"):
+            f.write(struct.pack("<I", len(tok)))
+            f.write(tok)
+        name = b"model/wte"
+        f.write(struct.pack("<iii", 2, len(name), int(GGMLType.Q8_0)))
+        f.write(struct.pack("<2i", 64, 8))
+        f.write(name)
+        f.write(q.tobytes())
+
+    m = read_legacy_bin(p, ["n_vocab", "n_ctx", "n_embd", "n_head", "n_layer", "ftype"])
+    assert m.hparams["n_vocab"] == 100
+    assert m.qnt_version == 2
+    assert m.ftype == 3
+    assert m.vocab == [b"a", b"bc"]
+    t = m.tensors["model/wte"]
+    assert t.shape == (64, 8)
+    assert np.array_equal(t.data, q)
+
+
+def test_read_reference_written_gguf():
+    """Interop: parse a file produced by the reference's own gguf writer."""
+    r = GGUFReader("tests/fixtures/ref_written.gguf")
+    assert r.metadata["general.architecture"] == "llama"
+    assert r.metadata["llama.block_count"] == 2
+    assert abs(r.metadata["llama.rope.freq_base"] - 10000.0) < 1e-3
+    assert r.metadata["some.flag"] is True
+    assert list(r.metadata["tokenizer.ggml.tokens"]) == ["tok0", "tok1", "tok2"]
+    assert np.allclose(r.metadata["scores"], [0.5, -1.0, 2.0])
+
+    a = r.tensor_array("tensor_f32")
+    assert a.shape == (8, 64)
+    assert np.allclose(a.reshape(-1), 0.01 * np.arange(64 * 8, dtype=np.float32))
+
+    qi = r.tensors["tensor_q4"]
+    assert qi.ggml_type == GGMLType.Q4_0 and qi.shape == (64, 8)
+    x = (0.1 + 2.0 * np.cos(np.arange(64 * 8, dtype=np.float32))).astype(np.float32)
+    mine = codecs.quantize(x, GGMLType.Q4_0)
+    assert np.array_equal(r.tensor_data("tensor_q4"), mine)
