@@ -1,0 +1,67 @@
+"""Quantized matrix multiplication — the framework's hot path.
+
+Replaces the reference's mul_mat driver + vec_dot kernels
+(ggml_compute_forward_mul_mat, /root/reference/src/ggml.c:11808;
+ggml_vec_dot_q4_0_q8_0, /root/reference/src/ggml-quants.c:3469) with a
+TPU-native design:
+
+- default path: dequantize-in-XLA. The unpack + scale expansion is written so
+  XLA fuses it into the matmul's operand read; the MXU consumes bf16 while
+  weights travel HBM->VMEM at their quantized width.
+- optional path: a fused Pallas kernel (ops/pallas_qmm.py) with block-
+  interleaved weight layout for maximum decode bandwidth.
+
+Unlike ggml (which quantizes activations to Q8 and does integer dots), the
+TPU path keeps activations in bf16: the MXU natively multiplies bf16 at full
+rate and f32-accumulates, which is strictly more accurate than ggml's W4A8
+while reading the same 4-bit weight stream.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..quant.device import QTensor
+
+
+def dequantize_xla(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
+    """Expand a QTensor to a dense (K, N) array inside a traced computation.
+    XLA fuses this into the consuming matmul."""
+    if qt.kind == "dense":
+        return jnp.asarray(qt.q, dtype=dtype)
+
+    scale = jnp.asarray(qt.scale)
+    n_groups = scale.shape[0]
+    group = qt.k // n_groups
+
+    if qt.kind == "nib4":
+        qs = jnp.asarray(qt.q)                                   # (K/2, N)
+        g = qs.reshape(qt.k // 32, 16, qt.n)
+        lo = (g & 0x0F).astype(jnp.int8) - qt.zero
+        hi = (g >> 4).astype(jnp.int8) - qt.zero
+        q = jnp.concatenate([lo, hi], axis=1).reshape(qt.k, qt.n)
+    elif qt.kind == "int8":
+        q = jnp.asarray(qt.q)                                    # (K, N) int8
+    else:
+        raise ValueError(qt.kind)
+
+    w = q.reshape(n_groups, group, qt.n).astype(dtype) * scale.astype(dtype)[:, None, :]
+    if qt.bias is not None:
+        w = w + jnp.asarray(qt.bias).astype(dtype)[:, None, :]
+    return w.reshape(qt.k, qt.n)
+
+
+def qmatmul(x: jax.Array, qt: QTensor, *, compute_dtype=jnp.bfloat16,
+            out_dtype=None, precision=None) -> jax.Array:
+    """x @ dequant(W). x: (..., K) -> (..., N).
+
+    compute_dtype: operand precision fed to the MXU (bf16 default; float32 +
+    precision="highest" for differential tests). Accumulation is always f32.
+    """
+    out_dtype = out_dtype or x.dtype
+    w = dequantize_xla(qt, dtype=compute_dtype)
+    y = jnp.matmul(x.astype(compute_dtype), w,
+                   preferred_element_type=jnp.float32, precision=precision)
+    return y.astype(out_dtype)

@@ -1,0 +1,245 @@
+"""Device (TPU) representation of quantized weights.
+
+ggml's on-disk block formats are decoded once at load time into a small set of
+TPU-friendly layouts (the analog of the reference's per-backend re-encodings,
+e.g. CUDA's dequantize_block kernels — src/ggml-cuda/convert.cu):
+
+- ``nib4``: two 4-bit values per byte, shape (K/2, N) uint8, *intra-block
+  plane split* (byte row 16b+j holds elements 32b+j in the low nibble and
+  32b+16+j in the high nibble — the transpose of ggml's q4 block layout).
+  Semantics: w[k, n] = (nib - zero) * scale[g, n] + bias[g, n], g = k//group.
+  `zero` is a per-tensor integer zero-point chosen so the affine bias only
+  carries a format's true minimum — folding e.g. 8*scale into the bias
+  instead would cancel catastrophically at bf16 (observed with q2_K).
+- ``int8``: shape (K, N) int8.
+  Semantics: w[k, n] = q * scale[g, n] + bias[g, n].
+- ``dense``: unquantized bf16/f32 weights, shape (K, N).
+
+K is the contraction dimension (ggml ne[0]); all formats carry one scale (and
+optionally one bias) per 32 contraction elements per output column, which
+uniformly covers both the basic formats (d/m per 32-block) and the K-quant
+super-blocks (d*sub_scale / dmin*sub_min folded at load time, f32).
+
+Note jnp.int4 is deliberately not used: the axon TPU runtime cannot
+materialize int4 arrays (see .claude/skills/verify/SKILL.md).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+from . import codecs
+from .formats import FORMATS, QK_K, GGMLType
+
+f32 = np.float32
+
+
+@dataclass
+class QTensor:
+    """Quantized weight in device layout. Arrays may be numpy (host staging)
+    or jax.Array (on device) — the ops only rely on __array_namespace__-level
+    semantics and jnp operations."""
+    kind: str                 # "nib4" | "int8" | "dense"
+    q: object                 # see module docstring
+    scale: Optional[object]   # (K/32, N) f32, None for dense
+    bias: Optional[object]    # (K/32, N) f32 or None
+    k: int
+    n: int
+    ggml_type: GGMLType
+    zero: int = 0             # nib4 zero-point (see module docstring)
+    interleaved_bk: int = 0   # 0 = natural layout; else block-interleave tile
+
+    def tree_flatten(self):
+        return (self.q, self.scale, self.bias), (
+            self.kind, self.k, self.n, self.ggml_type, self.zero, self.interleaved_bk)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        q, scale, bias = children
+        kind, k, n, t, z, ibk = aux
+        return cls(kind, q, scale, bias, k, n, t, z, ibk)
+
+
+try:  # register as a pytree so QTensors pass through jit/pjit boundaries
+    import jax.tree_util as _jtu
+    _jtu.register_pytree_node(QTensor,
+                              lambda t: t.tree_flatten(),
+                              lambda aux, ch: QTensor.tree_unflatten(aux, ch))
+except Exception:  # pragma: no cover
+    pass
+
+
+def _blocks(raw: np.ndarray, t: GGMLType, n_rows: int, row_len: int):
+    """View encoded bytes as structured blocks, shaped (n_rows, blocks_per_row)."""
+    bv = codecs._blocks_view(raw, t)
+    return bv.reshape(n_rows, row_len // FORMATS[t].block_size)
+
+
+def _nib4_from_u8(vals: np.ndarray) -> np.ndarray:
+    """vals: (N, K) unsigned 4-bit values in natural element order ->
+    packed (K/2, N) uint8 with intra-block plane split."""
+    n, k = vals.shape
+    v = vals.reshape(n, k // 32, 2, 16)          # (N, B, half, j)
+    lo = v[:, :, 0, :]
+    hi = v[:, :, 1, :]
+    packed = (lo | (hi << 4)).astype(np.uint8)   # (N, B, 16)
+    return np.ascontiguousarray(packed.reshape(n, k // 2).T)
+
+
+def _per32(arr_nb: np.ndarray) -> np.ndarray:
+    """(N, K/32) -> (K/32, N) f32, contiguous."""
+    return np.ascontiguousarray(arr_nb.T.astype(f32))
+
+
+def _k_scale_min(b) -> tuple[np.ndarray, np.ndarray]:
+    """Unpack q4_K/q5_K 6-bit sub-scales/mins -> effective f32 (nr, nb*8) each."""
+    sc = b["scales"]
+    d6, m6 = codecs._unpack_scale_min_k4(sc)
+    d = b["d"].astype(f32)[..., None] * d6.astype(f32)
+    m = b["dmin"].astype(f32)[..., None] * m6.astype(f32)
+    return d, m
+
+
+def to_device_format(raw: np.ndarray, t: GGMLType, shape_ne: tuple[int, ...]) -> QTensor:
+    """Decode a ggml-encoded weight into device layout.
+
+    shape_ne is the ggml shape (ne[0]=row length=K first). 2-D weights only;
+    higher-rank tensors should be reshaped by the caller (e.g. expert stacks).
+    """
+    k = shape_ne[0]
+    n = 1
+    for d in shape_ne[1:]:
+        n *= d
+
+    if t in (GGMLType.F32, GGMLType.F16, GGMLType.BF16):
+        w = codecs.dequantize(raw, t, shape=(n, k)).T  # (K, N)
+        return QTensor("dense", np.ascontiguousarray(w), None, None, k, n, t)
+
+    info = FORMATS[t]
+    assert k % info.block_size == 0, (t, k)
+    b = _blocks(raw, t, n, k)
+    nb32 = k // 32  # 32-element groups per row
+
+    if t == GGMLType.Q4_0:
+        d = b["d"].astype(f32)                        # (N, K/32)
+        qs = b["qs"]                                  # (N, K/32, 16)
+        lo = qs & 0x0F
+        hi = qs >> 4
+        vals = np.concatenate([lo, hi], axis=2).reshape(n, k)
+        return QTensor("nib4", _nib4_from_u8(vals), _per32(d), None, k, n, t, zero=8)
+
+    if t == GGMLType.Q4_1:
+        d = b["d"].astype(f32)
+        m = b["m"].astype(f32)
+        qs = b["qs"]
+        vals = np.concatenate([qs & 0x0F, qs >> 4], axis=2).reshape(n, k)
+        return QTensor("nib4", _nib4_from_u8(vals), _per32(d), _per32(m), k, n, t, zero=0)
+
+    if t in (GGMLType.Q5_0, GGMLType.Q5_1):
+        d = b["d"].astype(f32)
+        qh = b["qh"][..., None].astype(np.uint32)     # (N, K/32, 1)
+        j = np.arange(16, dtype=np.uint32)
+        xh0 = (((qh >> j) << 4) & 0x10).astype(np.uint8)
+        xh1 = ((qh >> (j + 12)) & 0x10).astype(np.uint8)
+        lo = (b["qs"] & 0x0F) | xh0
+        hi = (b["qs"] >> 4) | xh1
+        q5 = np.concatenate([lo, hi], axis=2).reshape(n, k).astype(np.int16)
+        if t == GGMLType.Q5_0:
+            qdev = np.ascontiguousarray((q5 - 16).astype(np.int8).T)
+            return QTensor("int8", qdev, _per32(d), None, k, n, t)
+        qdev = np.ascontiguousarray(q5.astype(np.int8).T)   # raw [0, 31]
+        m = b["m"].astype(f32)
+        return QTensor("int8", qdev, _per32(d), _per32(m), k, n, t)
+
+    if t in (GGMLType.Q8_0, GGMLType.Q8_1):
+        d = b["d"].astype(f32)
+        qdev = np.ascontiguousarray(b["qs"].reshape(n, k).T)
+        return QTensor("int8", qdev, _per32(d), None, k, n, t)
+
+    if t == GGMLType.Q2_K:
+        d = b["d"].astype(f32)[..., None] * (b["scales"] & 0xF).astype(f32)   # (N, SB, 16)
+        m = b["dmin"].astype(f32)[..., None] * (b["scales"] >> 4).astype(f32)
+        q = ((b["qs"][:, :, codecs._Q2_BYTE] >> codecs._Q2_SHIFT) & 3).astype(np.uint8)
+        # q2_K sub-blocks are 16 wide: emit per-16 scale/bias (shape (K/16, N));
+        # ops derive the group length from the scale shape.
+        scale16 = d.reshape(n, -1)
+        bias16 = -m.reshape(n, -1)                    # w = q*s - m
+        vals = q.reshape(n, k)
+        return QTensor("nib4", _nib4_from_u8(vals),
+                       np.ascontiguousarray(scale16.T.astype(f32)),
+                       np.ascontiguousarray(bias16.T.astype(f32)),
+                       k, n, t, zero=0)
+
+    if t == GGMLType.Q3_K:
+        sc6 = codecs._unpack_q3k_scales(b["scales"].reshape(-1, 12)).reshape(n, -1, 16)
+        d = b["d"].astype(f32)[..., None] * sc6.astype(f32)                   # (N, SB, 16)
+        qlow = ((b["qs"][:, :, codecs._Q2_BYTE] >> codecs._Q2_SHIFT) & 3).astype(np.int16)
+        hset = ((b["hmask"][:, :, codecs._Q3_HBYTE] >> codecs._Q3_HBIT) & 1).astype(np.int16)
+        q = qlow - np.where(hset == 1, 0, 4) + 4      # store q' = q+4 in [0,7]
+        vals = q.reshape(n, k).astype(np.uint8)
+        scale = d.reshape(n, -1)                      # per-16
+        return QTensor("nib4", _nib4_from_u8(vals),
+                       np.ascontiguousarray(scale.T.astype(f32)), None,
+                       k, n, t, zero=4)
+
+    if t == GGMLType.Q4_K:
+        d, m = _k_scale_min(b)                        # (N, SB, 8) per-32 groups
+        q = ((b["qs"][:, :, codecs._Q4K_BYTE] >> codecs._Q4K_SHIFT) & 0xF).astype(np.uint8)
+        vals = q.reshape(n, k)
+        scale = d.reshape(n, nb32)
+        bias = -m.reshape(n, nb32)                    # w = q*s - m
+        return QTensor("nib4", _nib4_from_u8(vals), _per32(scale), _per32(bias), k, n, t, zero=0)
+
+    if t == GGMLType.Q5_K:
+        d, m = _k_scale_min(b)
+        ql = ((b["qs"][:, :, codecs._Q4K_BYTE] >> codecs._Q4K_SHIFT) & 0xF).astype(np.int16)
+        hb = ((b["qh"][:, :, codecs._E % 32] >> codecs._Q5K_HBIT) & 1).astype(np.int16)
+        q5 = ql + 16 * hb                             # raw [0, 31]
+        qdev = np.ascontiguousarray(q5.reshape(n, k).astype(np.int8).T)
+        scale = d.reshape(n, nb32)
+        bias = -m.reshape(n, nb32)                    # w = q5*s - m
+        return QTensor("int8", qdev, _per32(scale), _per32(bias), k, n, t)
+
+    if t == GGMLType.Q6_K:
+        lo = (b["ql"][:, :, codecs._Q6_QL_BYTE] >> codecs._Q6_QL_SHIFT) & 0xF
+        hi = (b["qh"][:, :, codecs._Q6_QH_BYTE] >> codecs._Q6_QH_SHIFT) & 3
+        q = (lo.astype(np.int16) | (hi.astype(np.int16) << 4)) - 32
+        qdev = np.ascontiguousarray(q.reshape(n, k).astype(np.int8).T)
+        scale = (b["d"].astype(f32)[..., None] * b["scales"].astype(f32)).reshape(n, -1)  # per-16
+        return QTensor("int8", qdev, np.ascontiguousarray(scale.T), None, k, n, t)
+
+    raise NotImplementedError(f"no device layout for {t}")
+
+
+def quantize_for_device(w: np.ndarray, t: GGMLType) -> QTensor:
+    """Quantize a float weight (numpy, shape (K, N) contraction-first) through
+    the bit-exact codec, then decode to device layout. Ensures the device path
+    sees exactly what a GGUF round trip would produce."""
+    k, n = w.shape
+    raw = codecs.quantize(np.ascontiguousarray(w.T), t)  # rows along K
+    return to_device_format(raw, t, (k, n))
+
+
+def dequantize_qtensor(qt: QTensor) -> np.ndarray:
+    """Host-side reference dequantization of the device layout -> (K, N) f32.
+    Used by differential tests."""
+    if qt.kind == "dense":
+        return np.asarray(qt.q, dtype=f32)
+    scale = np.asarray(qt.scale, dtype=f32)
+    group = qt.k // scale.shape[0]
+    bias = np.asarray(qt.bias, dtype=f32) if qt.bias is not None else None
+    if qt.kind == "nib4":
+        qs = np.asarray(qt.q)                        # (K/2, N)
+        g = qs.reshape(qt.k // 32, 16, qt.n)
+        lo = (g & 0x0F).astype(np.int16)
+        hi = (g >> 4).astype(np.int16)
+        q = np.concatenate([lo, hi], axis=1).reshape(qt.k, qt.n).astype(f32) - float(qt.zero)
+    else:
+        q = np.asarray(qt.q, dtype=f32)              # (K, N)
+    w = q.reshape(-1, group, qt.n) * scale[:, None, :]
+    if bias is not None:
+        w = w + bias[:, None, :]
+    return w.reshape(qt.k, qt.n)

@@ -6,8 +6,9 @@ sharding/collective tests use XLA's host-platform device simulation.
 """
 import os
 
-# must be set before jax is imported anywhere
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# must be set before jax is imported anywhere; the shell presets
+# JAX_PLATFORMS=axon (the real chip), so force-override for the test suite
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,87 @@
+"""Differential tests for the quantized matmul paths — the analog of the
+reference's test-backend-ops MUL_MAT sweep (tests/test-backend-ops.cpp:908):
+every quantized type x shape, compared against the bit-exact codec
+dequantization + float matmul, with NMSE tolerances."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ggml_imax_tpu.ops import qmatmul, qmatmul_pallas, repack_interleaved
+from ggml_imax_tpu.quant import GGMLType, type_from_name
+from ggml_imax_tpu.quant.device import dequantize_qtensor, quantize_for_device
+
+WEIGHT_TYPES = ["q4_0", "q4_1", "q5_0", "q5_1", "q8_0",
+                "q2_K", "q3_K", "q4_K", "q5_K", "q6_K"]
+
+
+def nmse(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(np.sum((a - b) ** 2) / (np.sum(b * b) + 1e-30))
+
+
+def make_case(name, k=256, n=128, m=4, seed=0):
+    rng = np.random.default_rng(seed)
+    w = (rng.standard_normal((k, n)) * 0.5).astype(np.float32)
+    x = (rng.standard_normal((m, k)) * 0.5).astype(np.float32)
+    qt = quantize_for_device(w, type_from_name(name))
+    ref = x @ dequantize_qtensor(qt)   # exact f64-ish reference of the q weights
+    return x, qt, ref
+
+
+@pytest.mark.parametrize("name", WEIGHT_TYPES)
+def test_qmatmul_f32_exactness(name):
+    """With f32 compute the XLA path must match the host dequant matmul to
+    float rounding (NMSE well under the reference's 1e-7 default)."""
+    x, qt, ref = make_case(name)
+    out = qmatmul(jnp.asarray(x), qt, compute_dtype=jnp.float32,
+                  out_dtype=jnp.float32, precision="highest")
+    assert nmse(out, ref) < 1e-9, f"{name}: NMSE {nmse(out, ref)}"
+
+
+@pytest.mark.parametrize("name", WEIGHT_TYPES)
+def test_qmatmul_bf16(name):
+    x, qt, ref = make_case(name)
+    out = qmatmul(jnp.asarray(x), qt, compute_dtype=jnp.bfloat16, out_dtype=jnp.float32)
+    assert nmse(out, ref) < 1e-4, f"{name}: NMSE {nmse(out, ref)}"
+
+
+@pytest.mark.parametrize("name", ["q4_0", "q4_1", "q2_K", "q3_K", "q4_K"])
+def test_qmatmul_pallas_matches_xla(name):
+    """Fused kernel (interpret mode on CPU) vs the XLA path."""
+    x, qt, ref = make_case(name, k=512, n=256, m=4)
+    qti = repack_interleaved(qt, bk=256)
+    out = qmatmul_pallas(jnp.asarray(x), qti, bn=128)
+    assert nmse(out, ref) < 1e-4, f"{name}: NMSE {nmse(out, ref)}"
+
+
+def test_qmatmul_batched_leading_dims():
+    x, qt, ref = make_case("q4_0", k=256, n=128, m=6)
+    xb = jnp.asarray(x).reshape(2, 3, 256)
+    out = qmatmul(xb, qt, compute_dtype=jnp.float32, out_dtype=jnp.float32,
+                  precision="highest")
+    assert out.shape == (2, 3, 128)
+    assert nmse(out.reshape(6, 128), ref) < 1e-9
+
+
+def test_qmatmul_dense_f16_weights():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((128, 64)).astype(np.float32)
+    from ggml_imax_tpu.quant import codecs
+    from ggml_imax_tpu.quant.device import to_device_format
+    raw = codecs.quantize(np.ascontiguousarray(w.T), GGMLType.F16)
+    qt = to_device_format(raw, GGMLType.F16, (128, 64))
+    x = rng.standard_normal((4, 128)).astype(np.float32)
+    out = qmatmul(jnp.asarray(x), qt, compute_dtype=jnp.float32,
+                  out_dtype=jnp.float32, precision="highest")
+    ref = x @ w.astype(np.float16).astype(np.float32)
+    assert nmse(out, ref) < 1e-9
+
+
+def test_qmatmul_under_jit():
+    x, qt, ref = make_case("q4_K")
+    f = jax.jit(lambda x, qt: qmatmul(x, qt, compute_dtype=jnp.float32,
+                                      out_dtype=jnp.float32, precision="highest"))
+    out = f(jnp.asarray(x), qt)   # QTensor is a pytree -> passes jit boundary
+    assert nmse(out, ref) < 1e-9
