@@ -1,0 +1,156 @@
+"""GPT-2 family — the reference's canonical example (examples/gpt-2/
+main-backend.cpp: loader :102-439, graph :442-717, eval :728-786), rebuilt as
+a pure JAX function over quantized params with a donated KV cache.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.legacy_bin import read_legacy_bin
+from ..ops.activations import gelu
+from ..ops.attention import attention_xla
+from ..ops.embedding import get_rows
+from ..ops.norms import layer_norm
+from ..ops.qmatmul import qmatmul
+from ..quant.device import QTensor, to_device_format, quantize_for_device
+from ..quant.formats import GGMLType
+from ..tokenizer.bpe import GreedyBPETokenizer
+from .common import KVCache, attention_mask, init_kv_cache, update_kv
+
+HPARAM_NAMES = ["n_vocab", "n_ctx", "n_embd", "n_head", "n_layer", "ftype"]
+
+
+@dataclass(frozen=True)
+class GPT2Config:
+    n_vocab: int = 50257
+    n_ctx: int = 1024
+    n_embd: int = 768
+    n_head: int = 12
+    n_layer: int = 12
+
+    @property
+    def head_dim(self):
+        return self.n_embd // self.n_head
+
+
+def load_legacy(path: str | Path):
+    """Load a reference-format gpt-2 .bin -> (config, params, tokenizer)."""
+    f = read_legacy_bin(path, HPARAM_NAMES)
+    cfg = GPT2Config(f.hparams["n_vocab"], f.hparams["n_ctx"], f.hparams["n_embd"],
+                     f.hparams["n_head"], f.hparams["n_layer"])
+    tok = GreedyBPETokenizer(f.vocab)
+
+    def dev(name):
+        t = f.tensors[name]
+        return to_device_format(t.data, t.ggml_type, t.shape)
+
+    def vec(name):
+        t = f.tensors[name]
+        from ..quant import codecs
+        return jnp.asarray(codecs.dequantize(t.data, t.ggml_type,
+                                             shape=tuple(reversed(t.shape))))
+
+    params = {
+        "wte": dev("model/wte"),
+        "wpe": vec("model/wpe").reshape(cfg.n_ctx, cfg.n_embd),
+        "ln_f_g": vec("model/ln_f/g"), "ln_f_b": vec("model/ln_f/b"),
+        "lm_head": dev("model/lm_head") if "model/lm_head" in f.tensors else None,
+        "layers": [],
+    }
+    for i in range(cfg.n_layer):
+        p = f"model/h{i}"
+        params["layers"].append({
+            "ln_1_g": vec(f"{p}/ln_1/g"), "ln_1_b": vec(f"{p}/ln_1/b"),
+            "ln_2_g": vec(f"{p}/ln_2/g"), "ln_2_b": vec(f"{p}/ln_2/b"),
+            "attn_w": dev(f"{p}/attn/c_attn/w"), "attn_b": vec(f"{p}/attn/c_attn/b"),
+            "proj_w": dev(f"{p}/attn/c_proj/w"), "proj_b": vec(f"{p}/attn/c_proj/b"),
+            "fc_w": dev(f"{p}/mlp/c_fc/w"), "fc_b": vec(f"{p}/mlp/c_fc/b"),
+            "out_w": dev(f"{p}/mlp/c_proj/w"), "out_b": vec(f"{p}/mlp/c_proj/b"),
+        })
+    return cfg, params, tok
+
+
+def from_hf_state_dict(cfg: GPT2Config, sd: dict, wtype: GGMLType = GGMLType.F32):
+    """Convert a HuggingFace GPT2LMHeadModel state dict (numpy arrays) into
+    our params. HF Conv1D weights are (in, out) = our (K, N) directly."""
+    def q2d(w):  # (K, N) float -> QTensor
+        w = np.asarray(w, np.float32)
+        if wtype in (GGMLType.F32, GGMLType.F16, GGMLType.BF16):
+            from ..quant import codecs
+            raw = codecs.quantize(np.ascontiguousarray(w.T), wtype)
+            return to_device_format(raw, wtype, (w.shape[0], w.shape[1]))
+        return quantize_for_device(w, wtype)
+
+    def arr(x):
+        return jnp.asarray(np.asarray(x, np.float32))
+
+    params = {
+        "wte": q2d(np.asarray(sd["transformer.wte.weight"]).T),  # (E, V)
+        "wpe": arr(sd["transformer.wpe.weight"]),
+        "ln_f_g": arr(sd["transformer.ln_f.weight"]),
+        "ln_f_b": arr(sd["transformer.ln_f.bias"]),
+        "lm_head": None,
+        "layers": [],
+    }
+    for i in range(cfg.n_layer):
+        p = f"transformer.h.{i}"
+        params["layers"].append({
+            "ln_1_g": arr(sd[f"{p}.ln_1.weight"]), "ln_1_b": arr(sd[f"{p}.ln_1.bias"]),
+            "ln_2_g": arr(sd[f"{p}.ln_2.weight"]), "ln_2_b": arr(sd[f"{p}.ln_2.bias"]),
+            "attn_w": q2d(sd[f"{p}.attn.c_attn.weight"]), "attn_b": arr(sd[f"{p}.attn.c_attn.bias"]),
+            "proj_w": q2d(sd[f"{p}.attn.c_proj.weight"]), "proj_b": arr(sd[f"{p}.attn.c_proj.bias"]),
+            "fc_w": q2d(sd[f"{p}.mlp.c_fc.weight"]), "fc_b": arr(sd[f"{p}.mlp.c_fc.bias"]),
+            "out_w": q2d(sd[f"{p}.mlp.c_proj.weight"]), "out_b": arr(sd[f"{p}.mlp.c_proj.bias"]),
+        })
+    return params
+
+
+def init_cache(cfg: GPT2Config, batch: int = 1, n_ctx: int | None = None,
+               dtype=jnp.bfloat16) -> KVCache:
+    return init_kv_cache(cfg.n_layer, batch, n_ctx or cfg.n_ctx,
+                         cfg.n_head, cfg.head_dim, dtype)
+
+
+def forward(cfg: GPT2Config, params, tokens, positions, cache: KVCache, n_past,
+            *, compute_dtype=jnp.bfloat16, precision=None):
+    """tokens, positions: (B, T) int32. Returns (logits (B, T, V), cache)."""
+    B, T = tokens.shape
+    H, D, E = cfg.n_head, cfg.head_dim, cfg.n_embd
+
+    mm = lambda x, w: qmatmul(x, w, compute_dtype=compute_dtype,
+                              out_dtype=jnp.float32, precision=precision)
+
+    x = get_rows(params["wte"], tokens, dtype=jnp.float32)
+    x = x + params["wpe"][positions]
+
+    mask = attention_mask(positions, cache.n_ctx, n_past)
+
+    for li, lp in enumerate(params["layers"]):
+        cur = layer_norm(x, lp["ln_1_g"], lp["ln_1_b"])
+        qkv = mm(cur, lp["attn_w"]) + lp["attn_b"]
+        q, kk, vv = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, T, H, D)
+        kk = kk.reshape(B, T, H, D)
+        vv = vv.reshape(B, T, H, D)
+
+        cache = update_kv(cache, li, kk, vv, n_past)
+        attn = attention_xla(q, cache.k[li], cache.v[li], mask,
+                             out_dtype=jnp.float32, precision=precision)
+        attn = attn.reshape(B, T, E)
+        x = x + mm(attn, lp["proj_w"]) + lp["proj_b"]
+
+        cur = layer_norm(x, lp["ln_2_g"], lp["ln_2_b"])
+        cur = gelu(mm(cur, lp["fc_w"]) + lp["fc_b"])
+        x = x + mm(cur, lp["out_w"]) + lp["out_b"]
+
+    x = layer_norm(x, params["ln_f_g"], params["ln_f_b"])
+    # tied LM head: wte is stored (K=E, N=V), so x @ wte gives (B, T, V)
+    head = params["lm_head"] if params.get("lm_head") is not None else params["wte"]
+    logits = qmatmul(x, head, compute_dtype=compute_dtype,
+                     out_dtype=jnp.float32, precision=precision)
+    return logits, cache

@@ -1,0 +1,44 @@
+"""Row gather (ggml_get_rows analog, incl. from quantized tensors).
+
+The reference dequantizes gathered rows on the fly (ggml_compute_forward
+_get_rows_q). On TPU the embedding table stays quantized in HBM and the
+gather + dequant happen fused in XLA.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..quant.device import QTensor
+
+
+def get_rows(qt: QTensor, ids, dtype=jnp.bfloat16):
+    """Gather rows of a (possibly quantized) embedding table.
+
+    qt: QTensor with k = row length (embedding dim), n = vocab rows.
+    ids: int array (...,) of row indices -> (..., k).
+    """
+    if qt.kind == "dense":
+        # qt.q is (K, N) = (embd, vocab): gather columns
+        return jnp.asarray(qt.q).T[ids].astype(dtype)
+
+    scale = jnp.asarray(qt.scale)
+    n_groups = scale.shape[0]
+    group = qt.k // n_groups
+
+    if qt.kind == "nib4":
+        qs = jnp.asarray(qt.q)                            # (K/2, N)
+        cols = qs.T[ids]                                  # (..., K/2)
+        g = cols.reshape(*cols.shape[:-1], qt.k // 32, 16)
+        lo = (g & 0x0F).astype(jnp.int8) - qt.zero
+        hi = (g >> 4).astype(jnp.int8) - qt.zero
+        q = jnp.concatenate([lo, hi], axis=-1).reshape(*cols.shape[:-1], qt.k)
+    else:
+        q = jnp.asarray(qt.q).T[ids]                      # (..., K)
+
+    s = scale.T[ids]                                      # (..., n_groups)
+    qg = q.reshape(*q.shape[:-1], n_groups, group).astype(dtype)
+    w = qg * s[..., None].astype(dtype)
+    if qt.bias is not None:
+        b = jnp.asarray(qt.bias).T[ids]
+        w = w + b[..., None].astype(dtype)
+    return w.reshape(*q.shape[:-1], qt.k)

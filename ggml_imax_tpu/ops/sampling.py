@@ -1,0 +1,80 @@
+"""Token sampling: top-k / top-p / temperature (+ repeat penalty).
+
+Semantics follow the reference's gpt_sample_top_k_top_p[_repeat]
+(/root/reference/examples/common.cpp:427-575): scale logits by 1/temp, keep
+top-k, softmax over the survivors, truncate to the top-p nucleus (inclusive
+of the crossing token), renormalize, draw.
+
+Two implementations:
+- `sample_host`: numpy, matches the reference flow exactly (CLI examples).
+- `sample_device`: pure-jnp version usable inside jit (serving loop) with a
+  jax PRNG key; uses the Gumbel trick over the filtered distribution.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sample_host(logits: np.ndarray, *, top_k: int = 40, top_p: float = 0.9,
+                temp: float = 0.9, rng: np.random.Generator | None = None,
+                repeat_penalty: float = 1.0, last_tokens=()) -> int:
+    rng = rng or np.random.default_rng()
+    logits = np.asarray(logits, dtype=np.float64)
+    n = len(logits)
+    scale = 1.0 / temp if temp > 0 else 1.0
+
+    scaled = logits * scale
+    if repeat_penalty != 1.0 and len(last_tokens):
+        # reference gpt_sample_top_k_top_p_repeat (common.cpp:507-575)
+        for t in set(int(t) for t in last_tokens):
+            if logits[t] < 0.0:
+                scaled[t] = logits[t] * scale * repeat_penalty
+            else:
+                scaled[t] = logits[t] * scale / repeat_penalty
+
+    top_k = min(top_k, n)
+    idx = np.argpartition(-scaled, top_k - 1)[:top_k]
+    idx = idx[np.argsort(-scaled[idx], kind="stable")]
+    vals = scaled[idx]
+
+    maxl = vals.max()
+    probs = np.exp(vals - maxl)
+    probs /= probs.sum()
+
+    if top_p < 1.0:
+        cumsum = np.cumsum(probs)
+        cut = int(np.searchsorted(cumsum, top_p) + 1)
+        cut = min(cut, len(probs))
+        probs = probs[:cut] / cumsum[cut - 1]
+        idx = idx[:cut]
+
+    choice = rng.choice(len(probs), p=probs / probs.sum())
+    return int(idx[choice])
+
+
+def sample_greedy(logits) -> int:
+    return int(np.argmax(np.asarray(logits)))
+
+
+def sample_device(logits, key, *, top_k: int = 40, top_p: float = 0.9,
+                  temp: float = 1.0):
+    """jit-friendly sampler. logits: (..., V). Returns int32 token ids (...)."""
+    lf = logits.astype(jnp.float32)
+    lf = lf / jnp.maximum(temp, 1e-6)
+    v = lf.shape[-1]
+    top_k = min(top_k, v)
+
+    vals, idx = jax.lax.top_k(lf, top_k)                     # sorted desc
+    probs = jax.nn.softmax(vals, axis=-1)
+    if top_p < 1.0:
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens up to and including the one crossing top_p
+        keep = (cum - probs) < top_p
+        probs = jnp.where(keep, probs, 0.0)
+    # Gumbel-max draw over the filtered set
+    g = jax.random.gumbel(key, probs.shape)
+    z = jnp.log(jnp.maximum(probs, 1e-30)) + g
+    pick = jnp.argmax(z, axis=-1)
+    return jnp.take_along_axis(idx, pick[..., None], axis=-1)[..., 0]
