@@ -1,0 +1,183 @@
+"""GPT-J — the reference's headline benchmark model (examples/gpt-j/main.cpp:
+loader :96-352, graph :421-589). Parallel attention+MLP residual, partial
+rotary (n_rot) in ggml's normal mode, untied LM head with bias.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.legacy_bin import read_legacy_bin
+from ..ops.activations import gelu
+from ..ops.attention import attention_xla
+from ..ops.embedding import get_rows
+from ..ops.norms import layer_norm
+from ..ops.qmatmul import qmatmul
+from ..ops.rope import rope
+from ..quant.device import to_device_format, quantize_for_device
+from ..quant.formats import GGMLType
+from ..tokenizer.bpe import GreedyBPETokenizer
+from .common import KVCache, attention_mask, init_kv_cache, update_kv
+
+HPARAM_NAMES = ["n_vocab", "n_ctx", "n_embd", "n_head", "n_layer", "n_rot", "ftype"]
+
+
+@dataclass(frozen=True)
+class GPTJConfig:
+    n_vocab: int = 50400
+    n_ctx: int = 2048
+    n_embd: int = 4096
+    n_head: int = 16
+    n_layer: int = 28
+    n_rot: int = 64
+
+    @property
+    def head_dim(self):
+        return self.n_embd // self.n_head
+
+
+def load_legacy(path: str | Path):
+    f = read_legacy_bin(path, HPARAM_NAMES)
+    cfg = GPTJConfig(f.hparams["n_vocab"], f.hparams["n_ctx"], f.hparams["n_embd"],
+                     f.hparams["n_head"], f.hparams["n_layer"], f.hparams["n_rot"])
+    tok = GreedyBPETokenizer(f.vocab)
+
+    def dev(name):
+        t = f.tensors[name]
+        return to_device_format(t.data, t.ggml_type, t.shape)
+
+    def vec(name):
+        t = f.tensors[name]
+        from ..quant import codecs
+        return jnp.asarray(codecs.dequantize(t.data, t.ggml_type,
+                                             shape=tuple(reversed(t.shape))))
+
+    params = {
+        "wte": dev("transformer.wte.weight"),
+        "ln_f_g": vec("transformer.ln_f.weight"), "ln_f_b": vec("transformer.ln_f.bias"),
+        "lmh_w": dev("lm_head.weight"), "lmh_b": vec("lm_head.bias"),
+        "layers": [],
+    }
+    for i in range(cfg.n_layer):
+        p = f"transformer.h.{i}"
+        params["layers"].append({
+            "ln_1_g": vec(f"{p}.ln_1.weight"), "ln_1_b": vec(f"{p}.ln_1.bias"),
+            "q_w": dev(f"{p}.attn.q_proj.weight"),
+            "k_w": dev(f"{p}.attn.k_proj.weight"),
+            "v_w": dev(f"{p}.attn.v_proj.weight"),
+            "o_w": dev(f"{p}.attn.out_proj.weight"),
+            "fc_in_w": dev(f"{p}.mlp.fc_in.weight"), "fc_in_b": vec(f"{p}.mlp.fc_in.bias"),
+            "fc_out_w": dev(f"{p}.mlp.fc_out.weight"), "fc_out_b": vec(f"{p}.mlp.fc_out.bias"),
+        })
+    return cfg, params, tok
+
+
+def synthetic_params(cfg: GPTJConfig, wtype: GGMLType = GGMLType.Q4_0, seed: int = 0,
+                     scale: float = 0.02):
+    """Random weights at full model size, quantized through the codec — used
+    by benchmarks when no checkpoint is available (zero network egress)."""
+    rng = np.random.default_rng(seed)
+    E, V = cfg.n_embd, cfg.n_vocab
+
+    def q(shape_kn):
+        w = (rng.standard_normal(shape_kn) * scale).astype(np.float32)
+        return quantize_for_device(w, wtype)
+
+    def vec(n):
+        return jnp.asarray((rng.standard_normal(n) * scale).astype(np.float32))
+
+    params = {
+        "wte": q((E, V)), "ln_f_g": vec(E) + 1.0, "ln_f_b": vec(E),
+        "lmh_w": q((E, V)), "lmh_b": vec(V),
+        "layers": [],
+    }
+    for _ in range(cfg.n_layer):
+        params["layers"].append({
+            "ln_1_g": vec(E) + 1.0, "ln_1_b": vec(E),
+            "q_w": q((E, E)), "k_w": q((E, E)), "v_w": q((E, E)), "o_w": q((E, E)),
+            "fc_in_w": q((E, 4 * E)), "fc_in_b": vec(4 * E),
+            "fc_out_w": q((4 * E, E)), "fc_out_b": vec(E),
+        })
+    return params
+
+
+def from_hf_state_dict(cfg: GPTJConfig, sd: dict, wtype: GGMLType = GGMLType.F32):
+    """HF GPTJForCausalLM state dict -> params. HF Linear weights are
+    (out, in); our qmatmul wants (K=in, N=out), i.e. the transpose."""
+    def q2d(w):
+        w = np.ascontiguousarray(np.asarray(w, np.float32).T)  # (in, out)
+        if wtype in (GGMLType.F32, GGMLType.F16, GGMLType.BF16):
+            from ..quant import codecs
+            raw = codecs.quantize(np.ascontiguousarray(w.T), wtype)
+            return to_device_format(raw, wtype, (w.shape[0], w.shape[1]))
+        return quantize_for_device(w, wtype)
+
+    def arr(x):
+        return jnp.asarray(np.asarray(x, np.float32))
+
+    params = {
+        "wte": q2d(sd["transformer.wte.weight"]),       # (V, E) -> (E, V)
+        "ln_f_g": arr(sd["transformer.ln_f.weight"]),
+        "ln_f_b": arr(sd["transformer.ln_f.bias"]),
+        "lmh_w": q2d(sd["lm_head.weight"]),
+        "lmh_b": arr(sd["lm_head.bias"]),
+        "layers": [],
+    }
+    for i in range(cfg.n_layer):
+        p = f"transformer.h.{i}"
+        params["layers"].append({
+            "ln_1_g": arr(sd[f"{p}.ln_1.weight"]), "ln_1_b": arr(sd[f"{p}.ln_1.bias"]),
+            "q_w": q2d(sd[f"{p}.attn.q_proj.weight"]),
+            "k_w": q2d(sd[f"{p}.attn.k_proj.weight"]),
+            "v_w": q2d(sd[f"{p}.attn.v_proj.weight"]),
+            "o_w": q2d(sd[f"{p}.attn.out_proj.weight"]),
+            "fc_in_w": q2d(sd[f"{p}.mlp.fc_in.weight"]),
+            "fc_in_b": arr(sd[f"{p}.mlp.fc_in.bias"]),
+            "fc_out_w": q2d(sd[f"{p}.mlp.fc_out.weight"]),
+            "fc_out_b": arr(sd[f"{p}.mlp.fc_out.bias"]),
+        })
+    return params
+
+
+def init_cache(cfg: GPTJConfig, batch: int = 1, n_ctx: int | None = None,
+               dtype=jnp.bfloat16) -> KVCache:
+    return init_kv_cache(cfg.n_layer, batch, n_ctx or cfg.n_ctx,
+                         cfg.n_head, cfg.head_dim, dtype)
+
+
+def forward(cfg: GPTJConfig, params, tokens, positions, cache: KVCache, n_past,
+            *, compute_dtype=jnp.bfloat16, precision=None):
+    B, T = tokens.shape
+    H, D, E = cfg.n_head, cfg.head_dim, cfg.n_embd
+
+    mm = lambda x, w: qmatmul(x, w, compute_dtype=compute_dtype,
+                              out_dtype=jnp.float32, precision=precision)
+
+    x = get_rows(params["wte"], tokens, dtype=jnp.float32)
+    mask = attention_mask(positions, cache.n_ctx, n_past)
+
+    for li, lp in enumerate(params["layers"]):
+        cur = layer_norm(x, lp["ln_1_g"], lp["ln_1_b"])
+        q = mm(cur, lp["q_w"]).reshape(B, T, H, D)
+        kk = mm(cur, lp["k_w"]).reshape(B, T, H, D)
+        vv = mm(cur, lp["v_w"]).reshape(B, T, H, D)
+        q = rope(q, positions, n_dims=cfg.n_rot, mode=0)
+        kk = rope(kk, positions, n_dims=cfg.n_rot, mode=0)
+
+        cache = update_kv(cache, li, kk, vv, n_past)
+        attn = attention_xla(q, cache.k[li], cache.v[li], mask,
+                             out_dtype=jnp.float32, precision=precision)
+        attn = mm(attn.reshape(B, T, E), lp["o_w"])
+
+        # parallel attention + MLP on the same normed input (main.cpp:535)
+        ff = gelu(mm(cur, lp["fc_in_w"]) + lp["fc_in_b"])
+        ff = mm(ff, lp["fc_out_w"]) + lp["fc_out_b"]
+        x = x + attn + ff
+
+    x = layer_norm(x, params["ln_f_g"], params["ln_f_b"])
+    logits = qmatmul(x, params["lmh_w"], compute_dtype=compute_dtype,
+                     out_dtype=jnp.float32, precision=precision) + params["lmh_b"]
+    return logits, cache

@@ -1,0 +1,185 @@
+"""LLaMA family (GGUF path — docs/gguf.md standardized keys).
+
+Architecture: rms_norm, SwiGLU MLP, GQA, RoPE. Rope pairing convention:
+llama.cpp's GGUF converters permute q/k weights so the model runs in ggml's
+interleaved mode 0; HuggingFace checkpoints use the half-split pairing, which
+is exactly ggml's NeoX mode — the loader records which mode applies.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.gguf import GGUFReader
+from ..ops.activations import silu
+from ..ops.attention import attention_xla
+from ..ops.embedding import get_rows
+from ..ops.norms import rms_norm
+from ..ops.qmatmul import qmatmul
+from ..ops.rope import ROPE_MODE_NEOX, ROPE_MODE_NORMAL, rope
+from ..quant.device import to_device_format, quantize_for_device
+from ..quant.formats import GGMLType
+from ..tokenizer.bpe import ByteLevelBPETokenizer
+from .common import KVCache, attention_mask, init_kv_cache, update_kv
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    n_vocab: int = 32000
+    n_ctx: int = 4096
+    n_embd: int = 4096
+    n_head: int = 32
+    n_head_kv: int = 32
+    n_layer: int = 32
+    n_ff: int = 11008
+    rms_eps: float = 1e-5
+    rope_base: float = 10000.0
+    rope_scale: float = 1.0
+    rope_mode: int = ROPE_MODE_NORMAL   # GGUF weights are pre-permuted for mode 0
+
+    @property
+    def head_dim(self):
+        return self.n_embd // self.n_head
+
+
+def load_gguf(path: str | Path, max_layers: int | None = None):
+    """Load a LLaMA-architecture GGUF -> (config, params, tokenizer|None)."""
+    r = GGUFReader(path)
+    md = r.metadata
+    arch = md.get("general.architecture", "llama")
+
+    def key(k, default=None):
+        return md.get(f"{arch}.{k}", default)
+
+    n_head = int(key("attention.head_count"))
+    cfg = LlamaConfig(
+        n_vocab=len(md.get("tokenizer.ggml.tokens", [])) or int(key("vocab_size", 32000)),
+        n_ctx=int(key("context_length", 4096)),
+        n_embd=int(key("embedding_length")),
+        n_head=n_head,
+        n_head_kv=int(key("attention.head_count_kv", n_head)),
+        n_layer=int(key("block_count")) if max_layers is None
+                else min(int(key("block_count")), max_layers),
+        n_ff=int(key("feed_forward_length")),
+        rms_eps=float(key("attention.layer_norm_rms_epsilon", 1e-5)),
+        rope_base=float(key("rope.freq_base", 10000.0)),
+        rope_scale=1.0 / float(key("rope.scale_linear", 1.0)),
+    )
+
+    def dev(name):
+        ti = r.tensors[name]
+        return to_device_format(r.tensor_data(name), ti.ggml_type, ti.shape)
+
+    def vec(name):
+        ti = r.tensors[name]
+        from ..quant import codecs
+        return jnp.asarray(codecs.dequantize(r.tensor_data(name), ti.ggml_type,
+                                             shape=tuple(reversed(ti.shape))))
+
+    params = {
+        "tok_embd": dev("token_embd.weight"),
+        "out_norm": vec("output_norm.weight"),
+        "output": dev("output.weight") if "output.weight" in r.tensors else None,
+        "layers": [],
+    }
+    for i in range(cfg.n_layer):
+        p = f"blk.{i}"
+        params["layers"].append({
+            "attn_norm": vec(f"{p}.attn_norm.weight"),
+            "q_w": dev(f"{p}.attn_q.weight"),
+            "k_w": dev(f"{p}.attn_k.weight"),
+            "v_w": dev(f"{p}.attn_v.weight"),
+            "o_w": dev(f"{p}.attn_output.weight"),
+            "ffn_norm": vec(f"{p}.ffn_norm.weight"),
+            "gate_w": dev(f"{p}.ffn_gate.weight"),
+            "up_w": dev(f"{p}.ffn_up.weight"),
+            "down_w": dev(f"{p}.ffn_down.weight"),
+        })
+
+    tok = None
+    if "tokenizer.ggml.tokens" in md and "tokenizer.ggml.merges" in md:
+        tok = ByteLevelBPETokenizer(list(md["tokenizer.ggml.tokens"]),
+                                    list(md["tokenizer.ggml.merges"]))
+    return cfg, params, tok
+
+
+def from_hf_state_dict(cfg: LlamaConfig, sd: dict, wtype: GGMLType = GGMLType.F32):
+    """HF LlamaForCausalLM -> params. HF Linear weights are (out, in); rope
+    runs in NeoX mode (half-split pairing), matching HF exactly."""
+    def q2d(w):
+        w = np.ascontiguousarray(np.asarray(w, np.float32).T)
+        if wtype in (GGMLType.F32, GGMLType.F16, GGMLType.BF16):
+            from ..quant import codecs
+            raw = codecs.quantize(np.ascontiguousarray(w.T), wtype)
+            return to_device_format(raw, wtype, (w.shape[0], w.shape[1]))
+        return quantize_for_device(w, wtype)
+
+    def arr(x):
+        return jnp.asarray(np.asarray(x, np.float32))
+
+    params = {
+        "tok_embd": q2d(sd["model.embed_tokens.weight"]),
+        "out_norm": arr(sd["model.norm.weight"]),
+        "output": q2d(sd["lm_head.weight"]) if "lm_head.weight" in sd else None,
+        "layers": [],
+    }
+    for i in range(cfg.n_layer):
+        p = f"model.layers.{i}"
+        params["layers"].append({
+            "attn_norm": arr(sd[f"{p}.input_layernorm.weight"]),
+            "q_w": q2d(sd[f"{p}.self_attn.q_proj.weight"]),
+            "k_w": q2d(sd[f"{p}.self_attn.k_proj.weight"]),
+            "v_w": q2d(sd[f"{p}.self_attn.v_proj.weight"]),
+            "o_w": q2d(sd[f"{p}.self_attn.o_proj.weight"]),
+            "ffn_norm": arr(sd[f"{p}.post_attention_layernorm.weight"]),
+            "gate_w": q2d(sd[f"{p}.mlp.gate_proj.weight"]),
+            "up_w": q2d(sd[f"{p}.mlp.up_proj.weight"]),
+            "down_w": q2d(sd[f"{p}.mlp.down_proj.weight"]),
+        })
+    return params
+
+
+def init_cache(cfg: LlamaConfig, batch: int = 1, n_ctx: int | None = None,
+               dtype=jnp.bfloat16) -> KVCache:
+    return init_kv_cache(cfg.n_layer, batch, n_ctx or cfg.n_ctx,
+                         cfg.n_head_kv, cfg.head_dim, dtype)
+
+
+def forward(cfg: LlamaConfig, params, tokens, positions, cache: KVCache, n_past,
+            *, compute_dtype=jnp.bfloat16, precision=None):
+    B, T = tokens.shape
+    H, Hkv, D, E = cfg.n_head, cfg.n_head_kv, cfg.head_dim, cfg.n_embd
+
+    mm = lambda x, w: qmatmul(x, w, compute_dtype=compute_dtype,
+                              out_dtype=jnp.float32, precision=precision)
+    rope_args = dict(n_dims=D, mode=cfg.rope_mode, freq_base=cfg.rope_base,
+                     freq_scale=cfg.rope_scale)
+
+    x = get_rows(params["tok_embd"], tokens, dtype=jnp.float32)
+    mask = attention_mask(positions, cache.n_ctx, n_past)
+
+    for li, lp in enumerate(params["layers"]):
+        cur = rms_norm(x, lp["attn_norm"], eps=cfg.rms_eps)
+        q = mm(cur, lp["q_w"]).reshape(B, T, H, D)
+        kk = mm(cur, lp["k_w"]).reshape(B, T, Hkv, D)
+        vv = mm(cur, lp["v_w"]).reshape(B, T, Hkv, D)
+        q = rope(q, positions, **rope_args)
+        kk = rope(kk, positions, **rope_args)
+
+        cache = update_kv(cache, li, kk, vv, n_past)
+        attn = attention_xla(q, cache.k[li], cache.v[li], mask,
+                             out_dtype=jnp.float32, precision=precision)
+        x = x + mm(attn.reshape(B, T, E), lp["o_w"])
+
+        cur = rms_norm(x, lp["ffn_norm"], eps=cfg.rms_eps)
+        ff = silu(mm(cur, lp["gate_w"])) * mm(cur, lp["up_w"])
+        x = x + mm(ff, lp["down_w"])
+
+    x = rms_norm(x, params["out_norm"], eps=cfg.rms_eps)
+    head = params["output"] if params.get("output") is not None else params["tok_embd"]
+    logits = qmatmul(x, head, compute_dtype=compute_dtype,
+                     out_dtype=jnp.float32, precision=precision)
+    return logits, cache
