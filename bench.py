@@ -1,0 +1,112 @@
+"""Headline benchmark: GPT-J-6B Q4_0 single-chip decode throughput.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline: the reference decodes GPT-J-6B at 8 tok/s on an M1 Pro CPU
+(README.md:101, BASELINE.md). vs_baseline = our tok/s / 8.
+
+Weights are synthetic (random Q4_0 blocks at the real 6B geometry) because
+the sandbox has no network egress; decode cost is value-independent.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from ggml_imax_tpu.models import gptj  # noqa: E402
+from ggml_imax_tpu.quant.formats import GGMLType  # noqa: E402
+
+BASELINE_TOK_S = 8.0  # GPT-J-6B, reference README.md:101 (125 ms/token)
+
+
+def main():
+    small = "--small" in sys.argv
+    resident = "q4" if "--resident=q4" in sys.argv else "bf16"
+    batch = 1
+    for a in sys.argv:
+        if a.startswith("--batch="):
+            batch = int(a.split("=")[1])
+    cfg = (gptj.GPTJConfig(n_vocab=50400, n_ctx=512, n_embd=1024, n_head=16,
+                           n_layer=4, n_rot=64)
+           if small else
+           gptj.GPTJConfig(n_vocab=50400, n_ctx=512, n_embd=4096, n_head=16,
+                           n_layer=28, n_rot=64))
+
+    t0 = time.time()
+    params = gptj.synthetic_params(cfg, GGMLType.Q4_0, seed=0)
+    params = jax.device_put(params)
+    if resident == "bf16":
+        # dequantize the Q4_0 image once on device (see quant.device
+        # .to_dense_bf16 for the measured rationale)
+        from ggml_imax_tpu.quant.device import params_to_dense_bf16
+        params = params_to_dense_bf16(params)
+    jax.block_until_ready(params)
+    load_s = time.time() - t0
+    print(f"# params staged+transferred in {load_s:.1f}s (resident={resident})",
+          file=sys.stderr)
+
+    cache = gptj.init_cache(cfg, batch=batch, n_ctx=512, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def step(params, tok, pos, cache, n_past):
+        logits, cache = gptj.forward(cfg, params, tok, pos, cache, n_past)
+        # greedy next-token on device to keep sampling off the host
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        return nxt[:, None], cache
+
+    tok = jnp.ones((batch, 1), jnp.int32)
+    n_warm, n_meas = 8, 64
+
+    # NOTE: on the axon tunnel backend, block_until_ready() does NOT wait for
+    # execution; only a value fetch round-trips. We therefore time a chain of
+    # data-dependent decode steps ended by one scalar fetch, and subtract the
+    # measured fixed fetch latency.
+    t0 = time.time()
+    for i in range(n_warm):
+        pos = jnp.full((batch, 1), i, jnp.int32)
+        tok, cache = step(params, tok, pos, cache, i)
+    _ = int(tok[0, 0])  # drain queue + compile
+    print(f"# warmup ({n_warm} steps incl. compile): {time.time()-t0:.1f}s",
+          file=sys.stderr)
+
+    # calibrate the fetch round-trip on a trivial dependent computation
+    lat = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = int(tok[0, 0] + 0)
+        lat.append(time.perf_counter() - t0)
+    fetch_lat = min(lat)
+    print(f"# fetch round-trip: {fetch_lat*1e3:.1f} ms", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for i in range(n_warm, n_warm + n_meas):
+        pos = jnp.full((batch, 1), i, jnp.int32)
+        tok, cache = step(params, tok, pos, cache, i)
+    _ = int(tok[0, 0])  # forces the whole dependent chain
+    dt = time.perf_counter() - t0 - fetch_lat
+    tok_s = n_meas * batch / dt
+    print(f"# {n_meas} chained steps in {dt*1e3:.1f} ms (batch={batch})",
+          file=sys.stderr)
+
+    name = "GPT-J-6B" if not small else "GPT-J-small"
+    suffix = "" if batch == 1 else f" batch={batch}"
+    print(json.dumps({
+        "metric": f"{name} Q4_0 decode tokens/sec/chip{suffix}",
+        "value": round(tok_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / BASELINE_TOK_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

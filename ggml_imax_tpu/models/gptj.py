@@ -76,13 +76,32 @@ def load_legacy(path: str | Path):
 
 
 def synthetic_params(cfg: GPTJConfig, wtype: GGMLType = GGMLType.Q4_0, seed: int = 0,
-                     scale: float = 0.02):
-    """Random weights at full model size, quantized through the codec — used
-    by benchmarks when no checkpoint is available (zero network egress)."""
+                     scale: float = 0.02, fast: bool = True):
+    """Random weights at full model size — used by benchmarks when no
+    checkpoint is available (zero network egress). With fast=True, device-
+    format tensors are fabricated directly (random packed nibbles + scales
+    statistically matching a quantized N(0, scale) matrix) instead of running
+    the full codec, which matters at 6B scale on one host core."""
     rng = np.random.default_rng(seed)
     E, V = cfg.n_embd, cfg.n_vocab
 
+    def q_fast(shape_kn):
+        from ..quant.device import QTensor
+        k, n = shape_kn
+        if wtype == GGMLType.Q4_0:
+            qs = rng.integers(0, 256, (k // 2, n), dtype=np.uint8)
+            sc = (np.abs(rng.standard_normal((k // 32, n))) * scale / 4.6).astype(np.float32)
+            return QTensor("nib4", qs, sc, None, k, n, wtype, zero=8)
+        if wtype == GGMLType.Q8_0:
+            qv = rng.integers(-127, 128, (k, n), dtype=np.int8)
+            sc = (np.abs(rng.standard_normal((k // 32, n))) * scale / 74).astype(np.float32)
+            return QTensor("int8", qv, sc, None, k, n, wtype)
+        w = (rng.standard_normal((k, n)) * scale).astype(np.float32)
+        return quantize_for_device(w, wtype)
+
     def q(shape_kn):
+        if fast:
+            return q_fast(shape_kn)
         w = (rng.standard_normal(shape_kn) * scale).astype(np.float32)
         return quantize_for_device(w, wtype)
 

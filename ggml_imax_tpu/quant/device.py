@@ -223,6 +223,42 @@ def quantize_for_device(w: np.ndarray, t: GGMLType) -> QTensor:
     return to_device_format(raw, t, (k, n))
 
 
+def to_dense_bf16(qt: QTensor) -> QTensor:
+    """Dequantize once, on device, into a bf16-resident dense QTensor.
+
+    TPU execution-mode tradeoff (measured on v5e): in-kernel 4-bit expansion
+    is VPU-bound (~8 vector ops/element; u8->i32 is the only cast chain the
+    compiler accepts), capping fused-GEMV weight bandwidth well below HBM.
+    Holding the dequantized bf16 image instead doubles bytes/token but runs
+    at full HBM bandwidth with zero per-step unpack cost — the analog of the
+    reference's dequant-to-f16 cuBLAS path (ggml-cuda convert.cu). Use
+    quantized residency only when HBM cannot hold the bf16 image.
+    """
+    import jax
+    import jax.numpy as jnp
+    if qt.kind == "dense":
+        return qt
+    from ..ops.qmatmul import dequantize_xla
+    w = jax.jit(lambda q: dequantize_xla(q, dtype=jnp.bfloat16))(qt)
+    return QTensor("dense", w, None, None, qt.k, qt.n, qt.ggml_type)
+
+
+def params_to_dense_bf16(params):
+    """Map to_dense_bf16 over every QTensor leaf of a params pytree,
+    releasing each quantized original as it converts."""
+    def conv(x):
+        return to_dense_bf16(x) if isinstance(x, QTensor) else x
+
+    def walk(d):
+        if isinstance(d, dict):
+            return {k: walk(v) for k, v in d.items()}
+        if isinstance(d, list):
+            return [walk(v) for v in d]
+        return conv(d)
+
+    return walk(params)
+
+
 def dequantize_qtensor(qt: QTensor) -> np.ndarray:
     """Host-side reference dequantization of the device layout -> (K, N) f32.
     Used by differential tests."""

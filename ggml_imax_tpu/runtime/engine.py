@@ -1,0 +1,135 @@
+"""Generation engine: compiled prefill + decode loop.
+
+Replaces the reference's per-token graph rebuild + gallocr replay
+(gpt2_eval, main-backend.cpp:728-786) with the XLA idiom: jit once per
+(bucket, batch) shape, donate the KV cache so updates alias in place, and
+keep the whole decode step (embed -> layers -> logits -> sample) on device.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.sampling import sample_device, sample_greedy, sample_host
+
+
+def _bucket(n: int, buckets=(8, 16, 32, 64, 128, 256, 512, 1024, 2048)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return n
+
+
+@dataclass
+class PerfCounters:
+    """Per-phase timers in the spirit of whisper's perf counters
+    (whisper.cpp:790-803) and ggml_graph perf (ggml.h:589-592)."""
+    load_us: float = 0.0
+    prefill_us: float = 0.0
+    decode_us: float = 0.0
+    n_prefill: int = 0
+    n_decode: int = 0
+
+    def report(self) -> str:
+        lines = []
+        if self.n_prefill:
+            lines.append(f"prefill: {self.n_prefill} tok in {self.prefill_us/1e3:.1f} ms "
+                         f"({self.prefill_us/max(1,self.n_prefill):.0f} us/tok)")
+        if self.n_decode:
+            lines.append(f"decode:  {self.n_decode} tok in {self.decode_us/1e3:.1f} ms "
+                         f"({self.decode_us/max(1,self.n_decode):.0f} us/tok, "
+                         f"{1e6*self.n_decode/max(1.0,self.decode_us):.1f} tok/s)")
+        return "\n".join(lines)
+
+
+class Engine:
+    """Single-sequence/batched generation over any model module exposing
+    forward(cfg, params, tokens, positions, cache, n_past, ...)."""
+
+    def __init__(self, model_module, cfg, params, *, compute_dtype=jnp.bfloat16,
+                 kv_dtype=jnp.bfloat16, n_ctx: int | None = None, batch: int = 1,
+                 donate_cache: bool = True):
+        self.model = model_module
+        self.cfg = cfg
+        self.params = params
+        self.compute_dtype = compute_dtype
+        self.kv_dtype = kv_dtype
+        self.n_ctx = n_ctx or cfg.n_ctx
+        self.batch = batch
+        self.perf = PerfCounters()
+
+        donate = (3,) if donate_cache else ()
+
+        def fwd(params, tokens, positions, cache, n_past):
+            return model_module.forward(cfg, params, tokens, positions, cache,
+                                        n_past, compute_dtype=compute_dtype)
+        self._step = jax.jit(fwd, donate_argnums=donate)
+        self._compiled_shapes: set = set()
+
+    def new_cache(self):
+        return self.model.init_cache(self.cfg, batch=self.batch,
+                                     n_ctx=self.n_ctx, dtype=self.kv_dtype)
+
+    def prefill(self, cache, tokens: np.ndarray, n_past: int = 0):
+        """tokens: (B, T). Pads T to a bucket; returns (last_logits, cache)."""
+        b, t = tokens.shape
+        tb = min(_bucket(t), self.n_ctx)
+        pad = tb - t
+        toks = np.pad(tokens, ((0, 0), (0, pad)))
+        # padded positions repeat the last real position so their KV rows land
+        # in already-valid slots and are overwritten by later steps
+        pos = np.pad(np.arange(n_past, n_past + t, dtype=np.int32)[None].repeat(b, 0),
+                     ((0, 0), (0, pad)), mode="edge")
+        t0 = time.perf_counter()
+        logits, cache = self._step(self.params, jnp.asarray(toks, jnp.int32),
+                                   jnp.asarray(pos), cache, n_past)
+        logits.block_until_ready()
+        self.perf.prefill_us += (time.perf_counter() - t0) * 1e6
+        self.perf.n_prefill += t
+        return np.asarray(logits[:, t - 1]), cache
+
+    def decode_step(self, cache, token_ids: np.ndarray, n_past: int):
+        """token_ids: (B,) -> (logits (B, V), cache)."""
+        b = token_ids.shape[0]
+        toks = jnp.asarray(token_ids.reshape(b, 1), jnp.int32)
+        pos = jnp.full((b, 1), n_past, jnp.int32)
+        t0 = time.perf_counter()
+        logits, cache = self._step(self.params, toks, pos, cache, n_past)
+        logits.block_until_ready()
+        self.perf.decode_us += (time.perf_counter() - t0) * 1e6
+        self.perf.n_decode += 1
+        return np.asarray(logits[:, 0]), cache
+
+    def generate(self, prompt_tokens, n_predict: int, *, top_k: int = 40,
+                 top_p: float = 0.9, temp: float = 0.9, seed: int = 0,
+                 eos_id: int | None = None,
+                 callback: Callable[[int], None] | None = None) -> list[int]:
+        """Single-sequence generation (batch=1), reference-CLI semantics."""
+        rng = np.random.default_rng(seed)
+        cache = self.new_cache()
+        tokens = list(map(int, prompt_tokens))
+        logits, cache = self.prefill(cache, np.asarray([tokens], np.int32))
+        out = []
+        n_past = len(tokens)
+        for _ in range(n_predict):
+            if temp <= 0:
+                tok = sample_greedy(logits[0])
+            else:
+                tok = sample_host(logits[0], top_k=top_k, top_p=top_p,
+                                  temp=temp, rng=rng)
+            out.append(tok)
+            if callback:
+                callback(tok)
+            if eos_id is not None and tok == eos_id:
+                break
+            if n_past >= self.n_ctx:
+                break
+            logits, cache = self.decode_step(cache, np.asarray([tok]), n_past)
+            n_past += 1
+        return out

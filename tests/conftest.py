@@ -6,18 +6,18 @@ sharding/collective tests use XLA's host-platform device simulation.
 """
 import os
 
-# must be set before jax is imported anywhere; the shell presets
-# JAX_PLATFORMS=axon (the real chip), so force-override for the test suite
+# NB: the sandbox's sitecustomize imports jax and registers the axon TPU
+# plugin before conftest runs, so env vars are too late — use config-level
+# overrides, which win as long as no computation has run yet.
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
