@@ -13,7 +13,7 @@ import numpy as np
 
 from ..io.legacy_bin import read_legacy_bin
 from ..ops.activations import gelu
-from ..ops.attention import attention_xla
+from ..ops.flash_attention import attention
 from ..ops.embedding import get_rows
 from ..ops.norms import layer_norm
 from ..ops.qmatmul import qmatmul
@@ -139,7 +139,7 @@ def forward(cfg: GPT2Config, params, tokens, positions, cache: KVCache, n_past,
         vv = vv.reshape(B, T, H, D)
 
         cache = update_kv(cache, li, kk, vv, n_past)
-        attn = attention_xla(q, cache.k[li], cache.v[li], mask,
+        attn = attention(q, cache.k[li], cache.v[li], mask,
                              out_dtype=jnp.float32, precision=precision)
         attn = attn.reshape(B, T, E)
         x = x + mm(attn, lp["proj_w"]) + lp["proj_b"]

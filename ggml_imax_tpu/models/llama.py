@@ -15,7 +15,7 @@ import numpy as np
 
 from ..io.gguf import GGUFReader
 from ..ops.activations import silu
-from ..ops.attention import attention_xla
+from ..ops.flash_attention import attention
 from ..ops.embedding import get_rows
 from ..ops.norms import rms_norm
 from ..ops.qmatmul import qmatmul
@@ -170,7 +170,7 @@ def forward(cfg: LlamaConfig, params, tokens, positions, cache: KVCache, n_past,
         kk = rope(kk, positions, **rope_args)
 
         cache = update_kv(cache, li, kk, vv, n_past)
-        attn = attention_xla(q, cache.k[li], cache.v[li], mask,
+        attn = attention(q, cache.k[li], cache.v[li], mask,
                              out_dtype=jnp.float32, precision=precision)
         x = x + mm(attn.reshape(B, T, E), lp["o_w"])
 

@@ -1,0 +1,203 @@
+"""Fused Pallas flash attention (online softmax, O(T) memory).
+
+The TPU analog of the reference's fused attention family:
+- semantics: ggml_flash_attn_ext (/root/reference/include/ggml/ggml.h:1750)
+  incl. GQA broadcast, additive mask, ALiBi slopes (max_bias) and logit
+  soft-capping, f32 accumulation (ggml.h:1759 precision override).
+- CPU impl being replaced: ggml.c:15572 (online-softmax loop per row).
+- CUDA shape-specialization precedent: src/ggml-cuda/fattn.cu:517 dispatches
+  on head size / batch; here one kernel is specialized by (block_q, block_k)
+  at trace time and XLA caches the compiled variants.
+
+Design: grid (B*Hq, Tq/BQ, Tk/BK) with the KV axis innermost ("arbitrary",
+sequential); running max/denominator live in VMEM scratch across KV steps;
+Q/K/V tiles stream HBM->VMEM via BlockSpecs; QK^T and P.V hit the MXU in
+bf16 with f32 accumulate. GQA is free: the K/V index_map folds the q-head ->
+kv-head mapping, so no repeated K/V ever materializes (the XLA reference
+path pays a rep-times HBM blowup via jnp.repeat).
+
+Masks use a large-finite NEG (-0.7*f32max) instead of -inf so that
+exp(masked - m) underflows to 0 without NaN edge cases in fully-masked
+(padding) rows.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention import attention_xla
+
+NEG = -0.7 * float(np.finfo(np.float32).max)
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _kernel(scale, softcap, use_mask, use_slope, *refs):
+    if use_mask and use_slope:
+        q_ref, k_ref, v_ref, m_in_ref, slope_ref, o_ref, acc, mx, lse = refs
+    elif use_mask:
+        q_ref, k_ref, v_ref, m_in_ref, o_ref, acc, mx, lse = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, acc, mx, lse = refs
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        mx[:] = jnp.full_like(mx, NEG)
+        lse[:] = jnp.zeros_like(lse)
+
+    q = q_ref[0]                                            # (BQ, D)
+    k = k_ref[0]                                            # (BK, D)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if softcap > 0.0:
+        s = softcap * jnp.tanh(s / softcap)
+    if use_mask:
+        mb = m_in_ref[0].astype(jnp.float32)                # (BQ, BK)
+        if use_slope:
+            mb = mb * slope_ref[0, 0]
+        s = jnp.maximum(s + mb, NEG)
+
+    m_prev = mx[:, :1]                                      # (BQ, 1)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)                                  # (BQ, BK)
+    alpha = jnp.exp(m_prev - m_new)                         # (BQ, 1)
+    lse[:, :1] = lse[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    mx[:, :1] = m_new
+    pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc[:] = acc[:] * alpha + pv
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _():
+        o_ref[0] = acc[:] / jnp.maximum(lse[:, :1], 1e-30)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "scale", "max_bias", "logit_softcap", "out_dtype", "block_q", "block_k",
+    "interpret"))
+def _flash(q, k, v, mask, *, scale, max_bias, logit_softcap, out_dtype,
+           block_q, block_k, interpret):
+    B, Tq, Hq, D = q.shape
+    _, Tk, Hkv, _ = k.shape
+    rep = Hq // Hkv
+
+    dpad = _round_up(D, _LANE)
+    bq = min(block_q, _round_up(Tq, 8))
+    bk = min(block_k, _round_up(Tk, _LANE))
+    tq, tk = _round_up(Tq, bq), _round_up(Tk, bk)
+
+    # head-major, padded layouts the kernel streams over
+    qh = jnp.pad(q.astype(jnp.bfloat16).transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, tq - Tq), (0, dpad - D))
+                 ).reshape(B * Hq, tq, dpad)
+    kh = jnp.pad(k.astype(jnp.bfloat16).transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, tk - Tk), (0, dpad - D))
+                 ).reshape(B * Hkv, tk, dpad)
+    vh = jnp.pad(v.astype(jnp.bfloat16).transpose(0, 2, 1, 3),
+                 ((0, 0), (0, 0), (0, tk - Tk), (0, dpad - D))
+                 ).reshape(B * Hkv, tk, dpad)
+
+    use_mask = mask is not None or tk != Tk
+    if use_mask:
+        if mask is None:
+            m3 = jnp.zeros((B, Tq, Tk), jnp.float32)
+        else:
+            # accept (B,1,Tq,Tk) / (Tq,Tk) / (B,Tq,Tk); heads must share it
+            m3 = jnp.broadcast_to(jnp.squeeze(mask, axis=1)
+                                  if mask.ndim == 4 else mask, (B, Tq, Tk))
+        m3 = jnp.maximum(m3.astype(jnp.float32), NEG)
+        m3 = jnp.pad(m3, ((0, 0), (0, tq - Tq), (0, tk - Tk)),
+                     constant_values=NEG)
+
+    use_slope = max_bias > 0.0
+    grid = (B * Hq, tq // bq, tk // bk)
+    in_specs = [
+        pl.BlockSpec((1, bq, dpad), lambda bh, qq, kk: (bh, qq, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, dpad),
+                     lambda bh, qq, kk: (bh // Hq * Hkv + bh % Hq // rep, kk, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, dpad),
+                     lambda bh, qq, kk: (bh // Hq * Hkv + bh % Hq // rep, kk, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qh, kh, vh]
+    if use_mask:
+        in_specs.append(pl.BlockSpec((1, bq, bk),
+                                     lambda bh, qq, kk: (bh // Hq, qq, kk),
+                                     memory_space=pltpu.VMEM))
+        args.append(m3)
+    if use_slope:
+        from .softmax import alibi_slopes
+        slopes = jnp.asarray(alibi_slopes(Hq, max_bias),
+                             jnp.float32).reshape(Hq, 1)
+        in_specs.append(pl.BlockSpec((1, 1), lambda bh, qq, kk: (bh % Hq, 0),
+                                     memory_space=pltpu.SMEM))
+        args.append(slopes)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale, logit_softcap, use_mask, use_slope),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bq, dpad), lambda bh, qq, kk: (bh, qq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * Hq, tq, dpad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bq, dpad), jnp.float32),
+            pltpu.VMEM((bq, _LANE), jnp.float32),
+            pltpu.VMEM((bq, _LANE), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hq * tq * tk * dpad,
+            bytes_accessed=(B * Hq * tq * dpad * 6
+                            + 2 * B * Hkv * tk * dpad * 2
+                            + (B * tq * tk * 4 if use_mask else 0)),
+            transcendentals=B * Hq * tq * tk),
+        interpret=interpret,
+    )(*args)
+    out = out.reshape(B, Hq, tq, dpad)[:, :, :Tq, :D]
+    return out.transpose(0, 2, 1, 3).astype(out_dtype)
+
+
+def flash_attention(q, k, v, mask=None, *, scale: float | None = None,
+                    max_bias: float = 0.0, logit_softcap: float = 0.0,
+                    out_dtype=None, block_q: int = 256, block_k: int = 512,
+                    interpret: bool | None = None, precision=None):
+    """Drop-in for attention_xla: q (B,Tq,Hq,D), k/v (B,Tk,Hkv,D),
+    mask additive broadcastable to (B,1,Tq,Tk). Returns (B,Tq,Hq,D).
+    `precision` is accepted for xla-path signature parity and ignored: the
+    kernel always accumulates in f32 (ggml_flash_attn_ext_set_prec analog)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    out_dtype = out_dtype or q.dtype
+    scale = scale if scale is not None else 1.0 / math.sqrt(q.shape[-1])
+    return _flash(q, k, v, mask, scale=float(scale), max_bias=float(max_bias),
+                  logit_softcap=float(logit_softcap),
+                  out_dtype=jnp.dtype(out_dtype), block_q=block_q,
+                  block_k=block_k, interpret=interpret)
+
+
+def attention(q, k, v, mask=None, *, impl: str = "auto", **kw):
+    """Dispatcher: 'flash' (Pallas), 'xla' (reference), or 'auto'."""
+    if impl == "xla":
+        return attention_xla(q, k, v, mask, **kw)
+    if impl == "flash":
+        return flash_attention(q, k, v, mask, **kw)
+    # auto: flash on TPU, XLA reference elsewhere (tests diff the two)
+    if jax.devices()[0].platform == "tpu":
+        return flash_attention(q, k, v, mask, **kw)
+    return attention_xla(q, k, v, mask, **kw)
