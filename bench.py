@@ -43,8 +43,8 @@ def main():
                            n_layer=28, n_rot=64))
 
     t0 = time.time()
-    params = gptj.synthetic_params(cfg, GGMLType.Q4_0, seed=0)
-    params = jax.device_put(params)
+    # generated on device: staging 6B from host over the tunnel measured 100s+
+    params = gptj.synthetic_params_device(cfg, GGMLType.Q4_0, seed=0)
     if resident == "bf16":
         # dequantize the Q4_0 image once on device (see quant.device
         # .to_dense_bf16 for the measured rationale)

@@ -123,6 +123,54 @@ def synthetic_params(cfg: GPTJConfig, wtype: GGMLType = GGMLType.Q4_0, seed: int
     return params
 
 
+def synthetic_params_device(cfg: GPTJConfig, wtype: GGMLType = GGMLType.Q4_0,
+                            seed: int = 0, scale: float = 0.02):
+    """Like synthetic_params(fast=True) but generates the packed payloads
+    *on device* with jax.random — no multi-GB host->device transfer over the
+    tunneled runtime (staging 6B Q4_0 from host measured 100s+; on-device
+    generation is sub-second per tensor)."""
+    import jax
+    from ..quant.device import QTensor
+
+    key = jax.random.key(seed)
+    E, V = cfg.n_embd, cfg.n_vocab
+    counter = [0]
+
+    def q(shape_kn):
+        k, n = shape_kn
+        counter[0] += 1
+        kq, ks = jax.random.split(jax.random.fold_in(key, counter[0]))
+        if wtype == GGMLType.Q4_0:
+            qs = jax.random.randint(kq, (k // 2, n), 0, 256, dtype=jnp.uint8)
+            sc = jnp.abs(jax.random.normal(ks, (k // 32, n), jnp.float32)) * (scale / 4.6)
+            return QTensor("nib4", qs, sc, None, k, n, wtype, zero=8)
+        if wtype == GGMLType.Q8_0:
+            qv = jax.random.randint(kq, (k, n), -127, 128, dtype=jnp.int8)
+            sc = jnp.abs(jax.random.normal(ks, (k // 32, n), jnp.float32)) * (scale / 74)
+            return QTensor("int8", qv, sc, None, k, n, wtype)
+        w = jax.random.normal(kq, (k, n), jnp.float32) * scale
+        return QTensor("dense", w.astype(jnp.bfloat16), None, None, k, n, wtype)
+
+    def vec(n):
+        counter[0] += 1
+        return jax.random.normal(jax.random.fold_in(key, counter[0]),
+                                 (n,), jnp.float32) * scale
+
+    params = {
+        "wte": q((E, V)), "ln_f_g": vec(E) + 1.0, "ln_f_b": vec(E),
+        "lmh_w": q((E, V)), "lmh_b": vec(V),
+        "layers": [],
+    }
+    for _ in range(cfg.n_layer):
+        params["layers"].append({
+            "ln_1_g": vec(E) + 1.0, "ln_1_b": vec(E),
+            "q_w": q((E, E)), "k_w": q((E, E)), "v_w": q((E, E)), "o_w": q((E, E)),
+            "fc_in_w": q((E, 4 * E)), "fc_in_b": vec(4 * E),
+            "fc_out_w": q((4 * E, E)), "fc_out_b": vec(E),
+        })
+    return params
+
+
 def from_hf_state_dict(cfg: GPTJConfig, sd: dict, wtype: GGMLType = GGMLType.F32):
     """HF GPTJForCausalLM state dict -> params. HF Linear weights are
     (out, in); our qmatmul wants (K=in, N=out), i.e. the transpose."""

@@ -197,7 +197,11 @@ def attention(q, k, v, mask=None, *, impl: str = "auto", **kw):
         return attention_xla(q, k, v, mask, **kw)
     if impl == "flash":
         return flash_attention(q, k, v, mask, **kw)
-    # auto: flash on TPU, XLA reference elsewhere (tests diff the two)
-    if jax.devices()[0].platform == "tpu":
+    # auto: flash on TPU for multi-token queries (prefill); single-token
+    # decode pads Tq 1->8 in the kernel and gains nothing over XLA's fused
+    # softmax (decode attention is HBM-bound on the KV read either way), so
+    # it takes the XLA path — mirroring the reference's mmq-vs-mmvq batch
+    # dispatch (ggml-cuda.cu:1867-1960).
+    if jax.devices()[0].platform == "tpu" and q.shape[1] > 1:
         return flash_attention(q, k, v, mask, **kw)
     return attention_xla(q, k, v, mask, **kw)

@@ -1,0 +1,255 @@
+"""whisper_full pipeline — chunked transcription with beam search and
+temperature fallback.
+
+Reference: whisper_full_with_state (/root/reference/examples/whisper/
+whisper.cpp:4850+, params :4688-4725):
+- 30 s sliding windows over the mel spectrogram (seek loop),
+- initial prompt [sot, lang, task, (no-)timestamps] (whisper.cpp:4950+),
+- per temperature in {0.0, 0.2, ..., 1.0}: beam search (temp==0, beam_size
+  from params) or best-of sampling, then quality control — fallback to the
+  next temperature when avg token logprob < logprob_thold or the token
+  entropy signals degenerate repetition (entropy_thold; the reference
+  computes it over token repeat counts, whisper.cpp:752-803),
+- decoder state kept in kv_self; cross-KV computed once per window.
+
+TPU-native: the decode step is one jitted function over a donated KV cache
+with batch = beam width; beam reordering gathers the cache along the batch
+axis on device. The encoder + cross-KV precompute compile once per window
+shape. Beam bookkeeping (token append, finished handling) stays on host —
+it is O(beam) per step and off the critical path, like the reference's
+host-side whisper_sequence logic.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.mel import HOP_LENGTH, N_SAMPLES, SAMPLE_RATE, log_mel_spectrogram
+from ..models import whisper as W
+
+# openai whisper language ordering: id(lang) = token_sot + 1 + index
+LANGUAGES = (
+    "en zh de es ru ko fr ja pt tr pl ca nl ar sv it id hi fi vi he uk el ms "
+    "cs ro da hu ta no th ur hr bg lt la mi ml cy sk te fa lv bn sr az sl kn "
+    "et mk br eu is hy ne mn bs kk sq sw gl mr pa si km sn yo so af oc ka be "
+    "tg sd gu am yi lo uz fo ht ps tk nn mt sa lb my bo tl mg as tt haw ln "
+    "ha ba jw su").split()
+
+
+@dataclass
+class FullParams:
+    """whisper_full_params analog (whisper.cpp:4688-4725)."""
+    language: str = "en"
+    translate: bool = False
+    beam_size: int = 5
+    best_of: int = 5
+    temperatures: tuple = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+    logprob_thold: float = -1.0
+    entropy_thold: float = 2.4
+    no_timestamps: bool = True
+    max_tokens: int = 0                  # 0 = until eot / ctx limit
+    seed: int = 0
+
+
+@dataclass
+class Segment:
+    t0: float
+    t1: float
+    tokens: list
+    text: str
+    avg_logprob: float
+    temperature: float
+
+
+class WhisperPipeline:
+    def __init__(self, cfg: W.WhisperConfig, params, filters=None,
+                 vocab: list[bytes] | None = None, *,
+                 compute_dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.params = params
+        self.filters = filters
+        self.vocab = vocab
+        self.compute_dtype = compute_dtype
+
+        def dec(params, toks, pos, cache, cross, n_past):
+            return W.decode(cfg, params, toks, pos, cache, cross, n_past,
+                            compute_dtype=compute_dtype)
+        self._decode = jax.jit(dec, donate_argnums=(3,))
+        self._encode = jax.jit(lambda p, mel: W.encode(
+            cfg, p, mel, compute_dtype=compute_dtype))
+        self._cross = jax.jit(lambda p, enc: W.precompute_cross_kv(
+            cfg, p, enc, compute_dtype=compute_dtype))
+
+    # -- prompt ------------------------------------------------------------
+    def initial_tokens(self, fp: FullParams) -> list[int]:
+        cfg = self.cfg
+        toks = [cfg.token_sot]
+        if cfg.is_multilingual:
+            toks.append(cfg.token_sot + 1 + LANGUAGES.index(fp.language))
+            toks.append(cfg.token_translate if fp.translate
+                        else cfg.token_transcribe)
+        if fp.no_timestamps:
+            toks.append(cfg.token_not)
+        return toks
+
+    def detect_language(self, samples: np.ndarray) -> str:
+        """whisper_lang_auto_detect analog: encode 30 s, decode one step
+        from [sot], read the distribution over language tokens."""
+        cfg = self.cfg
+        if not cfg.is_multilingual:
+            return "en"
+        cross = self._encode_window(samples, 0)
+        cache = W.init_cache(cfg, batch=1, dtype=self.compute_dtype)
+        toks = jnp.asarray([[cfg.token_sot]], jnp.int32)
+        pos = jnp.zeros((1, 1), jnp.int32)
+        logits, _ = self._decode(self.params, toks, pos, cache, cross, 0)
+        lang_ids = np.arange(len(LANGUAGES)) + cfg.token_sot + 1
+        probs = np.asarray(logits)[0, 0, lang_ids]
+        return LANGUAGES[int(np.argmax(probs))]
+
+    # -- decoding ----------------------------------------------------------
+    def _encode_window(self, samples, seek):
+        mel = log_mel_spectrogram(samples[seek:seek + N_SAMPLES],
+                                  self.filters)
+        mel = mel[None, :, :2 * self.cfg.n_audio_ctx]
+        enc = self._encode(self.params, mel.astype(jnp.float32))
+        return self._cross(self.params, enc)
+
+    def _run_beam(self, cross, prompt, fp: FullParams, temperature: float,
+                  rng: np.random.Generator):
+        """One decoding attempt at one temperature. Returns
+        (tokens, avg_logprob, entropy)."""
+        cfg = self.cfg
+        beam = fp.beam_size if temperature == 0.0 else 1
+        n_ctx = cfg.n_text_ctx
+        max_new = fp.max_tokens or (n_ctx // 2 - len(prompt))
+
+        cache = W.init_cache(cfg, batch=beam, dtype=self.compute_dtype)
+        xk, xv = cross
+        cross_b = (jnp.repeat(xk, beam, axis=1), jnp.repeat(xv, beam, axis=1))
+
+        toks = np.tile(np.asarray(prompt, np.int32)[None], (beam, 1))
+        pos = np.tile(np.arange(len(prompt), dtype=np.int32)[None], (beam, 1))
+        logits, cache = self._decode(self.params, jnp.asarray(toks),
+                                     jnp.asarray(pos), cache, cross_b, 0)
+        logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+
+        sum_lp = np.zeros(beam)
+        sum_lp[1:] = -1e9                       # beams start identical
+        seqs = [list() for _ in range(beam)]
+        finished: list[tuple[float, list, float]] = []
+        n_past = len(prompt)
+
+        for step in range(max_new):
+            lp = np.array(logp)                 # (beam, V), writable copy
+            # suppress special tokens except EOT mid-sequence
+            # (whisper.cpp logits filtering, :5062-5123 simplified)
+            sup = min(cfg.token_sot, cfg.n_vocab)
+            special = np.arange(sup, cfg.n_vocab)
+            lp[:, special[special != cfg.token_eot]] = -np.inf
+            if temperature > 0.0:
+                nxt = []
+                for b in range(beam):
+                    p = np.exp((lp[b] - lp[b].max()) / temperature)
+                    p /= p.sum()
+                    nxt.append(int(rng.choice(cfg.n_vocab, p=p)))
+                order = list(range(beam))
+                new_lp = [sum_lp[b] + lp[b, nxt[b]] for b in range(beam)]
+            else:
+                cand = sum_lp[:, None] + lp     # (beam, V)
+                flat = np.argsort(cand.ravel())[::-1][:2 * beam]
+                order, nxt, new_lp = [], [], []
+                for f in flat:
+                    b, t = divmod(int(f), cfg.n_vocab)
+                    if t == cfg.token_eot:
+                        n_tok = len(seqs[b])
+                        if n_tok > 0:
+                            finished.append((cand[b, t] / (n_tok + 1),
+                                             list(seqs[b]),
+                                             cand[b, t]))
+                        continue
+                    order.append(b)
+                    nxt.append(t)
+                    new_lp.append(cand[b, t])
+                    if len(order) == beam:
+                        break
+                while len(order) < beam:        # degenerate: pad with best
+                    order.append(order[0] if order else 0)
+                    nxt.append(int(np.argmax(lp[order[-1]])))
+                    new_lp.append(-1e9)
+
+            seqs = [seqs[b] + [t] for b, t in zip(order, nxt)]
+            sum_lp = np.asarray(new_lp)
+            if len(finished) >= beam:
+                break
+
+            # reorder the KV cache to follow surviving beams (device gather)
+            if order != list(range(beam)):
+                idx = jnp.asarray(order)
+                cache = type(cache)(cache.k[:, idx], cache.v[:, idx])
+            tok_step = jnp.asarray(np.asarray(nxt, np.int32)[:, None])
+            pos_step = jnp.full((beam, 1), n_past, jnp.int32)
+            logits, cache = self._decode(self.params, tok_step, pos_step,
+                                         cache, cross_b, n_past)
+            logp = jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), -1)
+            n_past += 1
+            if n_past >= n_ctx - 1:
+                break
+
+        if not finished:
+            b = int(np.argmax(sum_lp))
+            finished.append((sum_lp[b] / max(1, len(seqs[b])), seqs[b],
+                             sum_lp[b]))
+        finished.sort(key=lambda x: -x[0])
+        avg_lp, tokens, _ = finished[0]
+        return tokens, float(avg_lp), _token_entropy(tokens)
+
+    def transcribe(self, samples: np.ndarray, fp: FullParams | None = None
+                   ) -> list[Segment]:
+        """whisper_full analog. Returns the list of segments."""
+        fp = fp or FullParams()
+        rng = np.random.default_rng(fp.seed)
+        prompt = self.initial_tokens(fp)
+        segments: list[Segment] = []
+        n = len(samples)
+        seek = 0
+        while seek == 0 or seek + SAMPLE_RATE <= n:   # skip sub-second tails
+            cross = self._encode_window(samples, seek)
+            tokens, avg_lp, ent = [], -1e9, 0.0
+            used_t = fp.temperatures[-1]
+            for t in fp.temperatures:
+                tokens, avg_lp, ent = self._run_beam(cross, prompt, fp, t, rng)
+                used_t = t
+                # QC gates (whisper.cpp:802-803, params :4716-4719)
+                if avg_lp >= fp.logprob_thold and ent <= fp.entropy_thold:
+                    break
+            text = self.decode_text(tokens)
+            segments.append(Segment(
+                t0=seek / SAMPLE_RATE,
+                t1=min(n, seek + N_SAMPLES) / SAMPLE_RATE,
+                tokens=tokens, text=text, avg_logprob=avg_lp,
+                temperature=used_t))
+            seek += N_SAMPLES
+        return segments
+
+    def decode_text(self, tokens) -> str:
+        if self.vocab is None:
+            return ""
+        out = b"".join(self.vocab[t] for t in tokens
+                       if t < self.cfg.token_eot)
+        return out.decode("utf-8", errors="replace")
+
+
+def _token_entropy(tokens) -> float:
+    """Degenerate-repetition signal: Shannon entropy over token repeat
+    counts (whisper.cpp whisper_sequence entropy, :752-756). Low entropy =
+    the decoder is looping."""
+    if not tokens:
+        return 0.0
+    _, counts = np.unique(np.asarray(tokens), return_counts=True)
+    p = counts / counts.sum()
+    return float(-(p * np.log(p)).sum())

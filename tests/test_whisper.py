@@ -1,0 +1,137 @@
+"""Whisper parity vs HuggingFace (tiny random model, torch CPU) + mel
+frontend parity vs WhisperFeatureExtractor — the analog of the reference's
+whisper CI transcription golden test (ci/run.sh:144-158) without audio
+downloads.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from ggml_imax_tpu.models import whisper as W
+from ggml_imax_tpu.quant.formats import GGMLType
+
+
+def tiny_pair(seed=0):
+    torch.manual_seed(seed)
+    hf_cfg = transformers.WhisperConfig(
+        vocab_size=128, num_mel_bins=16, d_model=32,
+        encoder_layers=2, encoder_attention_heads=4,
+        decoder_layers=2, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64,
+        max_source_positions=32, max_target_positions=24,
+        # keep generation-special ids inside the tiny vocab
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        decoder_start_token_id=3, suppress_tokens=None,
+        begin_suppress_tokens=None, forced_decoder_ids=None)
+    model = transformers.WhisperForConditionalGeneration(hf_cfg).eval()
+    sd = {k.removeprefix("model."): v.numpy()
+          for k, v in model.state_dict().items()}
+    cfg = W.WhisperConfig(n_vocab=128, n_audio_ctx=32, n_audio_state=32,
+                          n_audio_head=4, n_audio_layer=2, n_text_ctx=24,
+                          n_text_state=32, n_text_head=4, n_text_layer=2,
+                          n_mels=16)
+    params = W.from_hf_state_dict(cfg, sd, GGMLType.F32)
+    return hf_cfg, model, cfg, params
+
+
+def test_whisper_encoder_parity():
+    hf_cfg, model, cfg, params = tiny_pair()
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((1, 16, 64)).astype(np.float32)
+    enc = W.encode(cfg, params, jnp.asarray(mel),
+                   compute_dtype=jnp.float32, precision="highest")
+    with torch.no_grad():
+        ref = model.model.encoder(torch.from_numpy(mel)).last_hidden_state.numpy()
+    err = np.abs(np.asarray(enc) - ref).max()
+    assert err < 2e-4, err
+
+
+def test_whisper_decoder_logits_parity_and_cache():
+    hf_cfg, model, cfg, params = tiny_pair()
+    rng = np.random.default_rng(1)
+    mel = rng.standard_normal((1, 16, 64)).astype(np.float32)
+    toks = rng.integers(0, 128, (1, 6)).astype(np.int32)
+
+    with torch.no_grad():
+        ref = model(input_features=torch.from_numpy(mel),
+                    decoder_input_ids=torch.tensor(toks.astype(np.int64))
+                    ).logits.numpy()
+
+    enc = W.encode(cfg, params, jnp.asarray(mel),
+                   compute_dtype=jnp.float32, precision="highest")
+    cross = W.precompute_cross_kv(cfg, params, enc,
+                                  compute_dtype=jnp.float32,
+                                  precision="highest")
+    cache = W.init_cache(cfg, dtype=jnp.float32)
+    pos = np.arange(6, dtype=np.int32)[None]
+    logits, cache = W.decode(cfg, params, jnp.asarray(toks), jnp.asarray(pos),
+                             cache, cross, 0, compute_dtype=jnp.float32,
+                             precision="highest")
+    err = np.abs(np.asarray(logits) - ref).max()
+    assert err < 2e-3, err
+
+    # incremental decode through the KV cache must match a fresh full pass
+    tok7 = rng.integers(0, 128, (1, 1)).astype(np.int32)
+    pos7 = np.full((1, 1), 6, np.int32)
+    inc, _ = W.decode(cfg, params, jnp.asarray(tok7), jnp.asarray(pos7),
+                      cache, cross, 6, compute_dtype=jnp.float32,
+                      precision="highest")
+    full_toks = np.concatenate([toks, tok7], axis=1)
+    with torch.no_grad():
+        full = model(input_features=torch.from_numpy(mel),
+                     decoder_input_ids=torch.tensor(full_toks.astype(np.int64))
+                     ).logits.numpy()
+    err = np.abs(np.asarray(inc)[0, 0] - full[0, -1]).max()
+    assert err < 2e-3, err
+
+
+def test_mel_frontend_parity_vs_hf():
+    from transformers import WhisperFeatureExtractor
+    from ggml_imax_tpu.audio.mel import log_mel_spectrogram, mel_filterbank
+    rng = np.random.default_rng(2)
+    samples = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    fe = WhisperFeatureExtractor()
+    ref = fe(samples, sampling_rate=16000, return_tensors="np")["input_features"][0]
+    got = np.asarray(log_mel_spectrogram(samples))[:, :3000]
+    assert np.abs(ref - got).max() < 1e-5
+    assert np.abs(np.asarray(fe.mel_filters).T - mel_filterbank()).max() < 1e-8
+
+
+def test_wav_roundtrip(tmp_path):
+    from ggml_imax_tpu.audio.wav import read_wav, write_wav, vad_simple
+    rng = np.random.default_rng(3)
+    pcm = (rng.standard_normal(16000) * 0.2).astype(np.float32)
+    p = tmp_path / "t.wav"
+    write_wav(p, pcm)
+    back = read_wav(p)
+    assert back.shape == pcm.shape
+    assert np.abs(back - np.clip(pcm, -1, 1)).max() < 2e-4
+    # quiet tail after loud head -> VAD fires
+    sig = np.concatenate([pcm, np.zeros(32000, np.float32)])
+    assert vad_simple(sig, last_ms=1000, freq_thold=0.0)
+
+
+def test_whisper_pipeline_transcribe_smoke():
+    """End-to-end whisper_full analog on a random tiny model: beam search,
+    temperature fallback, segmentation — checks mechanics, not quality."""
+    from ggml_imax_tpu.runtime.whisper_pipeline import (FullParams,
+                                                        WhisperPipeline)
+    from ggml_imax_tpu.audio.mel import mel_filterbank
+    _, _, cfg, params = tiny_pair(seed=4)
+    vocab = [f"<{i}>".encode() for i in range(cfg.n_vocab)]
+    pipe = WhisperPipeline(cfg, params, mel_filterbank(cfg.n_mels),
+                           vocab, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    samples = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    fp = FullParams(beam_size=2, max_tokens=6,
+                    temperatures=(0.0, 0.5), logprob_thold=-1e9,
+                    entropy_thold=1e9)
+    segs = pipe.transcribe(samples, fp)
+    assert len(segs) == 1
+    assert len(segs[0].tokens) <= 6
+    assert segs[0].temperature == 0.0         # QC passes at first temp
+    assert isinstance(segs[0].text, str)
