@@ -856,6 +856,55 @@ _DEQUANTIZERS = {
 }
 
 
+# native (C++) fast path: ggml_imax_tpu/native/codecs.cpp implements the same
+# loops (bit-exact, differential-tested in tests/test_native_codecs.py)
+_NATIVE_QUANT = {GGMLType.Q4_0: "q4_0", GGMLType.Q4_1: "q4_1",
+                 GGMLType.Q5_0: "q5_0", GGMLType.Q5_1: "q5_1",
+                 GGMLType.Q8_0: "q8_0", GGMLType.Q8_1: "q8_1"}
+_NATIVE_DEQUANT = {**_NATIVE_QUANT,
+                   GGMLType.Q2_K: "q2_K", GGMLType.Q3_K: "q3_K",
+                   GGMLType.Q4_K: "q4_K", GGMLType.Q5_K: "q5_K",
+                   GGMLType.Q6_K: "q6_K", GGMLType.Q8_K: "q8_K"}
+
+
+def _native_quantize(x: np.ndarray, t: GGMLType):
+    if t not in _NATIVE_QUANT:
+        return None
+    from ..native import lib
+    cdll = lib()
+    if cdll is None:
+        return None
+    import ctypes
+    info = FORMATS[t]
+    xc = np.ascontiguousarray(x, dtype=np.float32)
+    nb = xc.size // info.block_size
+    out = np.empty(nb * info.type_size, np.uint8)
+    getattr(cdll, f"{_NATIVE_QUANT[t]}_quantize")(
+        xc.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(nb))
+    return out
+
+
+def _native_dequantize(raw: np.ndarray, t: GGMLType):
+    if t not in _NATIVE_DEQUANT:
+        return None
+    from ..native import lib
+    cdll = lib()
+    if cdll is None:
+        return None
+    import ctypes
+    info = FORMATS[t]
+    rc = np.ascontiguousarray(raw).view(np.uint8).reshape(-1)
+    nb = rc.size // info.type_size
+    out = np.empty(nb * info.block_size, np.float32)
+    getattr(cdll, f"{_NATIVE_DEQUANT[t]}_dequantize")(
+        rc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(nb))
+    return out
+
+
 def supported_types() -> list[GGMLType]:
     return sorted(_QUANTIZERS.keys())
 
@@ -872,6 +921,9 @@ def quantize(x: np.ndarray, t: GGMLType) -> np.ndarray:
         # round-to-nearest-even truncation to bf16
         rounded = ((u32 + 0x7FFF + ((u32 >> 16) & 1)) >> 16).astype(np.uint16)
         return rounded.view(np.uint8).reshape(-1)
+    nat = _native_quantize(x, t)
+    if nat is not None:
+        return nat
     return _QUANTIZERS[t](x).reshape(-1)
 
 
@@ -885,5 +937,7 @@ def dequantize(raw: np.ndarray, t: GGMLType, shape: tuple[int, ...] | None = Non
         u16 = np.ascontiguousarray(raw).view(np.uint8).view(np.uint16)
         out = (u16.astype(np.uint32) << 16).view(np.float32).copy()
     else:
-        out = _DEQUANTIZERS[t](raw)
+        out = _native_dequantize(raw, t)
+        if out is None:
+            out = _DEQUANTIZERS[t](raw)
     return out.reshape(shape) if shape is not None else out
