@@ -55,6 +55,29 @@ def update_kv(cache: KVCache, layer: int, k_new, v_new, n_past) -> KVCache:
     return KVCache(k, v)
 
 
+def update_kv_cells(cache: KVCache, layer: int, k_new, v_new, cells) -> KVCache:
+    """Scatter k_new/v_new (B, T, H, D) into arbitrary cache cells
+    (B, T) int32 — the TPU analog of the reference's batched KV writes at
+    cells[head+i] (gpt-2/main-batched.cpp:889-893). Unlike update_kv the
+    destination rows need not be contiguous, enabling continuous batching."""
+    b = jnp.arange(k_new.shape[0])[:, None]
+    k = cache.k.at[layer, b, cells].set(k_new.astype(cache.k.dtype))
+    v = cache.v.at[layer, b, cells].set(v_new.astype(cache.v.dtype))
+    return KVCache(k, v)
+
+
+def cells_attention_mask(tok_pos, tok_seq, cell_pos, cell_seq_mask):
+    """Per-(token, cell) additive mask for celled KV (main-batched.cpp:931):
+    visible iff the cell belongs to the token's sequence AND cell.pos <=
+    token.pos. tok_pos/tok_seq: (B, T); cell_pos: (B, n_ctx) int32 (-1 =
+    empty); cell_seq_mask: (B, n_ctx) uint32 bitmask over seq ids.
+    Returns (B, 1, T, n_ctx) f32."""
+    same_seq = (cell_seq_mask[:, None, :] >> tok_seq[:, :, None].astype(jnp.uint32)) & 1
+    visible = (same_seq == 1) & (cell_pos[:, None, :] >= 0) \
+        & (cell_pos[:, None, :] <= tok_pos[:, :, None])
+    return jnp.where(visible, 0.0, -jnp.inf).astype(jnp.float32)[:, None]
+
+
 def attention_mask(positions, n_ctx: int, n_past):
     """(B, T) query positions -> (B, 1, T, n_ctx) additive causal mask over
     the cache: visible iff k_pos <= q_pos AND k_pos < n_past + T."""

@@ -20,7 +20,8 @@ from ..ops.qmatmul import qmatmul
 from ..quant.device import QTensor, to_device_format, quantize_for_device
 from ..quant.formats import GGMLType
 from ..tokenizer.bpe import GreedyBPETokenizer
-from .common import KVCache, attention_mask, init_kv_cache, update_kv
+from .common import (KVCache, attention_mask, init_kv_cache, update_kv,
+                     update_kv_cells)
 
 HPARAM_NAMES = ["n_vocab", "n_ctx", "n_embd", "n_head", "n_layer", "ftype"]
 
@@ -75,6 +76,39 @@ def load_legacy(path: str | Path):
     return cfg, params, tok
 
 
+def synthetic_params(cfg: GPT2Config, wtype: GGMLType = GGMLType.F32,
+                     seed: int = 0, scale: float = 0.02, fast: bool = False):
+    """Random weights at model geometry (tests/benchmarks; no downloads)."""
+    rng = np.random.default_rng(seed)
+    E, V, C = cfg.n_embd, cfg.n_vocab, cfg.n_ctx
+
+    def q(shape_kn):
+        w = (rng.standard_normal(shape_kn) * scale).astype(np.float32)
+        return quantize_for_device(w, wtype) if wtype != GGMLType.F32 else \
+            __import__("ggml_imax_tpu.quant.device", fromlist=["QTensor"]
+                       ).QTensor("dense", jnp.asarray(w), None, None,
+                                 shape_kn[0], shape_kn[1], wtype)
+
+    def vec(n):
+        return jnp.asarray((rng.standard_normal(n) * scale).astype(np.float32))
+
+    params = {
+        "wte": q((E, V)), "wpe": vec(C * E).reshape(C, E),
+        "ln_f_g": vec(E) + 1.0, "ln_f_b": vec(E), "lm_head": None,
+        "layers": [],
+    }
+    for _ in range(cfg.n_layer):
+        params["layers"].append({
+            "ln_1_g": vec(E) + 1.0, "ln_1_b": vec(E),
+            "ln_2_g": vec(E) + 1.0, "ln_2_b": vec(E),
+            "attn_w": q((E, 3 * E)), "attn_b": vec(3 * E),
+            "proj_w": q((E, E)), "proj_b": vec(E),
+            "fc_w": q((E, 4 * E)), "fc_b": vec(4 * E),
+            "out_w": q((4 * E, E)), "out_b": vec(E),
+        })
+    return params
+
+
 def from_hf_state_dict(cfg: GPT2Config, sd: dict, wtype: GGMLType = GGMLType.F32):
     """Convert a HuggingFace GPT2LMHeadModel state dict (numpy arrays) into
     our params. HF Conv1D weights are (in, out) = our (K, N) directly."""
@@ -117,7 +151,8 @@ def init_cache(cfg: GPT2Config, batch: int = 1, n_ctx: int | None = None,
 
 
 def forward(cfg: GPT2Config, params, tokens, positions, cache: KVCache, n_past,
-            *, compute_dtype=jnp.bfloat16, precision=None):
+            *, compute_dtype=jnp.bfloat16, precision=None,
+            cells=None, mask=None):
     """tokens, positions: (B, T) int32. Returns (logits (B, T, V), cache)."""
     B, T = tokens.shape
     H, D, E = cfg.n_head, cfg.head_dim, cfg.n_embd
@@ -128,7 +163,10 @@ def forward(cfg: GPT2Config, params, tokens, positions, cache: KVCache, n_past,
     x = get_rows(params["wte"], tokens, dtype=jnp.float32)
     x = x + params["wpe"][positions]
 
-    mask = attention_mask(positions, cache.n_ctx, n_past)
+    # celled-KV path (continuous batching, runtime/batched.py): explicit
+    # destination cells + externally built per-cell mask (SURVEY.md §A.3)
+    if mask is None:
+        mask = attention_mask(positions, cache.n_ctx, n_past)
 
     for li, lp in enumerate(params["layers"]):
         cur = layer_norm(x, lp["ln_1_g"], lp["ln_1_b"])
@@ -138,7 +176,10 @@ def forward(cfg: GPT2Config, params, tokens, positions, cache: KVCache, n_past,
         kk = kk.reshape(B, T, H, D)
         vv = vv.reshape(B, T, H, D)
 
-        cache = update_kv(cache, li, kk, vv, n_past)
+        if cells is None:
+            cache = update_kv(cache, li, kk, vv, n_past)
+        else:
+            cache = update_kv_cells(cache, li, kk, vv, cells)
         attn = attention(q, cache.k[li], cache.v[li], mask,
                              out_dtype=jnp.float32, precision=precision)
         attn = attn.reshape(B, T, E)

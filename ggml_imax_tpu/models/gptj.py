@@ -20,7 +20,8 @@ from ..ops.rope import rope
 from ..quant.device import to_device_format, quantize_for_device
 from ..quant.formats import GGMLType
 from ..tokenizer.bpe import GreedyBPETokenizer
-from .common import KVCache, attention_mask, init_kv_cache, update_kv
+from .common import (KVCache, attention_mask, init_kv_cache, update_kv,
+                     update_kv_cells)
 
 HPARAM_NAMES = ["n_vocab", "n_ctx", "n_embd", "n_head", "n_layer", "n_rot", "ftype"]
 
@@ -216,7 +217,8 @@ def init_cache(cfg: GPTJConfig, batch: int = 1, n_ctx: int | None = None,
 
 
 def forward(cfg: GPTJConfig, params, tokens, positions, cache: KVCache, n_past,
-            *, compute_dtype=jnp.bfloat16, precision=None):
+            *, compute_dtype=jnp.bfloat16, precision=None,
+            cells=None, mask=None):
     B, T = tokens.shape
     H, D, E = cfg.n_head, cfg.head_dim, cfg.n_embd
 
@@ -224,7 +226,10 @@ def forward(cfg: GPTJConfig, params, tokens, positions, cache: KVCache, n_past,
                               out_dtype=jnp.float32, precision=precision)
 
     x = get_rows(params["wte"], tokens, dtype=jnp.float32)
-    mask = attention_mask(positions, cache.n_ctx, n_past)
+    # celled-KV path (continuous batching, runtime/batched.py): explicit
+    # destination cells + externally built per-cell mask (SURVEY.md §A.3)
+    if mask is None:
+        mask = attention_mask(positions, cache.n_ctx, n_past)
 
     for li, lp in enumerate(params["layers"]):
         cur = layer_norm(x, lp["ln_1_g"], lp["ln_1_b"])
@@ -234,7 +239,10 @@ def forward(cfg: GPTJConfig, params, tokens, positions, cache: KVCache, n_past,
         q = rope(q, positions, n_dims=cfg.n_rot, mode=0)
         kk = rope(kk, positions, n_dims=cfg.n_rot, mode=0)
 
-        cache = update_kv(cache, li, kk, vv, n_past)
+        if cells is None:
+            cache = update_kv(cache, li, kk, vv, n_past)
+        else:
+            cache = update_kv_cells(cache, li, kk, vv, cells)
         attn = attention(q, cache.k[li], cache.v[li], mask,
                              out_dtype=jnp.float32, precision=precision)
         attn = mm(attn.reshape(B, T, E), lp["o_w"])

@@ -23,7 +23,8 @@ from ..ops.rope import ROPE_MODE_NEOX, ROPE_MODE_NORMAL, rope
 from ..quant.device import to_device_format, quantize_for_device
 from ..quant.formats import GGMLType
 from ..tokenizer.bpe import ByteLevelBPETokenizer
-from .common import KVCache, attention_mask, init_kv_cache, update_kv
+from .common import (KVCache, attention_mask, init_kv_cache, update_kv,
+                     update_kv_cells)
 
 
 @dataclass(frozen=True)
@@ -149,7 +150,8 @@ def init_cache(cfg: LlamaConfig, batch: int = 1, n_ctx: int | None = None,
 
 
 def forward(cfg: LlamaConfig, params, tokens, positions, cache: KVCache, n_past,
-            *, compute_dtype=jnp.bfloat16, precision=None):
+            *, compute_dtype=jnp.bfloat16, precision=None,
+            cells=None, mask=None):
     B, T = tokens.shape
     H, Hkv, D, E = cfg.n_head, cfg.n_head_kv, cfg.head_dim, cfg.n_embd
 
@@ -159,7 +161,10 @@ def forward(cfg: LlamaConfig, params, tokens, positions, cache: KVCache, n_past,
                      freq_scale=cfg.rope_scale)
 
     x = get_rows(params["tok_embd"], tokens, dtype=jnp.float32)
-    mask = attention_mask(positions, cache.n_ctx, n_past)
+    # celled-KV path (continuous batching, runtime/batched.py): explicit
+    # destination cells + externally built per-cell mask (SURVEY.md §A.3)
+    if mask is None:
+        mask = attention_mask(positions, cache.n_ctx, n_past)
 
     for li, lp in enumerate(params["layers"]):
         cur = rms_norm(x, lp["attn_norm"], eps=cfg.rms_eps)
@@ -169,7 +174,10 @@ def forward(cfg: LlamaConfig, params, tokens, positions, cache: KVCache, n_past,
         q = rope(q, positions, **rope_args)
         kk = rope(kk, positions, **rope_args)
 
-        cache = update_kv(cache, li, kk, vv, n_past)
+        if cells is None:
+            cache = update_kv(cache, li, kk, vv, n_past)
+        else:
+            cache = update_kv_cells(cache, li, kk, vv, cells)
         attn = attention(q, cache.k[li], cache.v[li], mask,
                              out_dtype=jnp.float32, precision=precision)
         x = x + mm(attn.reshape(B, T, E), lp["o_w"])

@@ -1,0 +1,231 @@
+"""Continuous batching over a celled KV cache.
+
+Reference semantics (gpt-2/main-batched.cpp — SURVEY.md §A.3): the KV cache
+is a pool of n_ctx cells, each tagged {pos, set<seq_id>}; a decode step
+writes batch rows at cells[head+i] tagged with (pos, seq); the attention
+mask admits cell c for token t iff `c.has_seq_id(t.seq) && c.pos <= t.pos`
+(:931); sequence fork is O(1) — `kv_cache_seq_cp` just inserts the new
+seq_id into the prefix's cells (:826-841).
+
+TPU-native: cell metadata (pos i32, seq-bitmask u32) lives in two tiny
+device arrays rebuilt from host bookkeeping each step; K/V rows scatter to
+their cells inside the jitted step (models' `cells=` path); the mask is
+computed on device from the metadata (models/common.cells_attention_mask).
+Token counts are bucketed so XLA compiles a handful of step shapes, and the
+cache buffer is donated — ggml's "allocate once, overwrite forever" arena
+contract under static shapes.
+
+Up to 32 concurrent sequences (u32 bitmask); the reference's n_seq_max is a
+parameter with the same role (whisper_batch_init, main-batched.cpp:450).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.common import cells_attention_mask
+from ..ops.sampling import sample_greedy, sample_host
+
+MAX_SEQ = 32
+_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
+
+
+def _bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return n
+
+
+@dataclass
+class Request:
+    seq: int
+    prompt: list
+    n_predict: int
+    top_k: int = 40
+    top_p: float = 0.9
+    temp: float = 0.8
+    eos_id: int | None = None
+    out: list = field(default_factory=list)
+    pos: int = 0                     # next position to fill
+    n_prompt_done: int = 0
+    done: bool = False
+    rng: np.random.Generator = field(default_factory=np.random.default_rng)
+    logits: np.ndarray | None = None
+
+
+class BatchedEngine:
+    """Continuous-batching server loop over any model exposing the
+    `forward(..., cells=, mask=)` interface (gpt2/gptj/llama)."""
+
+    def __init__(self, model_module, cfg, params, *, n_ctx: int | None = None,
+                 compute_dtype=jnp.bfloat16, kv_dtype=jnp.bfloat16):
+        self.model = model_module
+        self.cfg = cfg
+        self.params = params
+        self.n_ctx = n_ctx or cfg.n_ctx
+        self.kv_dtype = kv_dtype
+
+        # host-side cell registry (main-batched.cpp:80-117)
+        self.cell_pos = np.full(self.n_ctx, -1, np.int32)
+        self.cell_seq = np.zeros(self.n_ctx, np.uint32)
+        self.head = 0
+        self.requests: dict[int, Request] = {}
+        self._next_seq = 0
+        self.cache = model_module.init_cache(cfg, batch=1, n_ctx=self.n_ctx,
+                                             dtype=kv_dtype)
+
+        def step(params, tokens, positions, seqs, cells, cell_pos, cell_seq,
+                 cache):
+            mask = cells_attention_mask(positions, seqs, cell_pos, cell_seq)
+            return model_module.forward(cfg, params, tokens, positions, cache,
+                                        0, compute_dtype=compute_dtype,
+                                        cells=cells, mask=mask)
+        self._step = jax.jit(step, donate_argnums=(7,))
+
+    # -- cell registry ------------------------------------------------------
+    def _find_slot(self, n: int) -> int:
+        """First-fit contiguous run of n free cells (llama.cpp find_slot
+        semantics, simplified)."""
+        free = self.cell_pos < 0
+        run = 0
+        for i in range(self.n_ctx):
+            run = run + 1 if free[i] else 0
+            if run == n:
+                return i - n + 1
+        raise RuntimeError("KV cache full")
+
+    def seq_cp(self, src_seq: int, dst_seq: int, p0: int = 0,
+               p1: int | None = None):
+        """O(1) logical fork (kv_cache_seq_cp, main-batched.cpp:826-841):
+        tag the source cells with the destination seq id too."""
+        sel = ((self.cell_seq >> np.uint32(src_seq)) & 1).astype(bool)
+        sel &= self.cell_pos >= p0
+        if p1 is not None:
+            sel &= self.cell_pos < p1
+        self.cell_seq[sel] |= np.uint32(1 << dst_seq)
+
+    def seq_rm(self, seq: int):
+        """Remove a sequence's tag; free cells that belong to nobody."""
+        self.cell_seq &= ~np.uint32(1 << seq)
+        self.cell_pos[self.cell_seq == 0] = -1
+
+    # -- requests -------------------------------------------------------------
+    def add_request(self, prompt_tokens, n_predict: int, *, seed: int = 0,
+                    top_k: int = 40, top_p: float = 0.9, temp: float = 0.8,
+                    eos_id: int | None = None) -> int:
+        # seq id MAX_SEQ-1 is reserved for padding rows; ids of finished
+        # requests are recycled (their cells were freed by seq_rm)
+        used = {r.seq for r in self.requests.values() if not r.done}
+        if len(used) >= MAX_SEQ - 1:
+            raise RuntimeError(f"max {MAX_SEQ - 1} concurrent sequences")
+        seq = next(s for s in range(MAX_SEQ - 1) if s not in used)
+        rid = self._next_seq
+        self._next_seq += 1
+        self.requests[rid] = Request(
+            seq=seq, prompt=list(map(int, prompt_tokens)),
+            n_predict=n_predict, top_k=top_k, top_p=top_p, temp=temp,
+            eos_id=eos_id, rng=np.random.default_rng(seed))
+        return rid
+
+    def fork(self, rid: int, *, seed: int = 1) -> int:
+        """Fork a (fully prefilled) request into a new sequence sharing the
+        prefix cells — the n_parallel fan-out of main-batched.cpp:1080."""
+        src = self.requests[rid]
+        new = self.add_request([], src.n_predict, top_k=src.top_k,
+                               top_p=src.top_p, temp=src.temp,
+                               eos_id=src.eos_id, seed=seed)
+        r = self.requests[new]
+        r.pos = src.pos
+        r.n_prompt_done = len(src.prompt)
+        r.prompt = src.prompt
+        r.logits = None if src.logits is None else src.logits.copy()
+        self.seq_cp(src.seq, r.seq)
+        return new
+
+    # -- the step -------------------------------------------------------------
+    def step(self) -> bool:
+        """Assemble a ubatch (prompt chunks + one decode token per live seq),
+        run it, sample. Returns False when all requests are done."""
+        toks, poss, seqs, cells = [], [], [], []
+        sample_rows: list[tuple[Request, int]] = []
+
+        for r in self.requests.values():
+            if r.done:
+                continue
+            if r.n_prompt_done < len(r.prompt):
+                chunk = r.prompt[r.n_prompt_done:]
+                base = self._find_slot(len(chunk))
+                for i, t in enumerate(chunk):
+                    self.cell_pos[base + i] = r.pos
+                    self.cell_seq[base + i] = np.uint32(1 << r.seq)
+                    toks.append(t)
+                    poss.append(r.pos)
+                    seqs.append(r.seq)
+                    cells.append(base + i)
+                    r.pos += 1
+                r.n_prompt_done = len(r.prompt)
+                sample_rows.append((r, len(toks) - 1))
+            else:
+                if r.logits is None:
+                    r.done = True
+                    continue
+                tok = self._sample(r)
+                r.out.append(tok)
+                if ((r.eos_id is not None and tok == r.eos_id)
+                        or len(r.out) >= r.n_predict or r.pos >= self.n_ctx - 1):
+                    r.done = True
+                    self.seq_rm(r.seq)
+                    continue
+                cell = self._find_slot(1)
+                self.cell_pos[cell] = r.pos
+                self.cell_seq[cell] = np.uint32(1 << r.seq)
+                toks.append(tok)
+                poss.append(r.pos)
+                seqs.append(r.seq)
+                cells.append(cell)
+                r.pos += 1
+                sample_rows.append((r, len(toks) - 1))
+
+        if not toks:
+            return any(not r.done for r in self.requests.values())
+
+        n = len(toks)
+        nb = min(_bucket(n), self.n_ctx)
+        pad = nb - n
+
+        def arr(v, fill, dt):
+            return jnp.asarray(np.pad(np.asarray(v, dt), (0, pad),
+                                      constant_values=fill)[None])
+        tokens = arr(toks, 0, np.int32)
+        positions = arr(poss, 0, np.int32)
+        # pad rows: reserved seq id (never allocated) -> fully-masked
+        # attention; cell index n_ctx is out of bounds, which JAX scatter
+        # semantics DROP — pad K/V rows never touch a live cell
+        seq_arr = arr(seqs, MAX_SEQ - 1, np.int32)
+        cells_arr = arr(cells, self.n_ctx, np.int32)
+
+        logits, self.cache = self._step(
+            self.params, tokens, positions, seq_arr, cells_arr,
+            jnp.asarray(self.cell_pos[None]), jnp.asarray(self.cell_seq[None]),
+            self.cache)
+        lg = np.asarray(logits[0])
+        for r, row in sample_rows:
+            r.logits = lg[row]
+        return any(not r.done for r in self.requests.values())
+
+    def _sample(self, r: Request) -> int:
+        if r.temp <= 0:
+            return sample_greedy(r.logits)
+        return sample_host(r.logits, top_k=r.top_k, top_p=r.top_p,
+                           temp=r.temp, rng=r.rng)
+
+    def run(self) -> dict[int, list]:
+        while self.step():
+            pass
+        return {s: r.out for s, r in self.requests.items()}

@@ -1,0 +1,83 @@
+"""Continuous-batching engine tests — the main-batched.cpp semantics
+(SURVEY.md §A.3): celled KV with seq ids, parallel sequences, O(1) fork.
+Uses a tiny random GPT-2; greedy decoding must match the single-sequence
+Engine exactly (same compiled math, different KV layout).
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ggml_imax_tpu.models import gpt2
+from ggml_imax_tpu.quant.formats import GGMLType
+from ggml_imax_tpu.runtime.batched import BatchedEngine
+from ggml_imax_tpu.runtime.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = gpt2.GPT2Config(n_vocab=96, n_ctx=128, n_embd=64, n_head=4,
+                          n_layer=2)
+    params = gpt2.synthetic_params(cfg, GGMLType.F32, seed=7)
+    return cfg, params
+
+
+def greedy_reference(cfg, params, prompt, n):
+    eng = Engine(gpt2, cfg, params, compute_dtype=jnp.float32,
+                 kv_dtype=jnp.float32)
+    return eng.generate(prompt, n, temp=0.0)
+
+
+def test_batched_matches_single_sequence(tiny):
+    cfg, params = tiny
+    prompt = [3, 14, 15, 92, 6]
+    ref = greedy_reference(cfg, params, prompt, 8)
+
+    be = BatchedEngine(gpt2, cfg, params, compute_dtype=jnp.float32,
+                       kv_dtype=jnp.float32)
+    rid = be.add_request(prompt, 8, temp=0.0)
+    out = be.run()[rid]
+    assert out == ref, (out, ref)
+
+
+def test_batched_parallel_sequences(tiny):
+    cfg, params = tiny
+    prompts = [[3, 14, 15], [92, 6, 53, 35], [8]]
+    refs = [greedy_reference(cfg, params, p, 6) for p in prompts]
+
+    be = BatchedEngine(gpt2, cfg, params, compute_dtype=jnp.float32,
+                       kv_dtype=jnp.float32)
+    rids = [be.add_request(p, 6, temp=0.0) for p in prompts]
+    outs = be.run()
+    for rid, ref in zip(rids, refs):
+        assert outs[rid] == ref
+
+
+def test_batched_fork_shares_prefix(tiny):
+    cfg, params = tiny
+    prompt = [3, 14, 15, 92]
+    be = BatchedEngine(gpt2, cfg, params, compute_dtype=jnp.float32,
+                       kv_dtype=jnp.float32)
+    rid = be.add_request(prompt, 5, temp=0.0)
+    be.step()                       # prefill the prompt
+    used_before = int((be.cell_pos >= 0).sum())
+    assert used_before == len(prompt)
+    fid = be.fork(rid)
+    # O(1) fork: no new cells were allocated for the copy
+    assert int((be.cell_pos >= 0).sum()) == used_before
+    outs = be.run()
+    ref = greedy_reference(cfg, params, prompt, 5)
+    assert outs[rid] == ref
+    assert outs[fid] == ref        # greedy fork follows the same path
+
+
+def test_batched_cells_recycled_and_seq_reuse(tiny):
+    cfg, params = tiny
+    be = BatchedEngine(gpt2, cfg, params, n_ctx=64, compute_dtype=jnp.float32,
+                       kv_dtype=jnp.float32)
+    for round_ in range(3):
+        rid = be.add_request([5 + round_, 9], 4, temp=0.0)
+        be.run()
+    # all requests finished -> every cell freed
+    assert int((be.cell_pos >= 0).sum()) == 0
+    assert len(be.requests) == 3
