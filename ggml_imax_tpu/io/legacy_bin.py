@@ -93,3 +93,33 @@ def read_legacy_bin(path: str | Path, hparam_names: list[str]) -> LegacyModelFil
         tensors[name] = LegacyTensor(name, tuple(ne), t, data)
 
     return LegacyModelFile(hparams, vocab, tensors)
+
+
+def write_legacy_bin(path: str | Path, hparams: dict[str, int],
+                     hparam_names: list[str], vocab: list[bytes],
+                     tensors: dict[str, tuple[GGMLType, tuple[int, ...], np.ndarray]],
+                     ) -> None:
+    """Write a legacy ggml .bin (inverse of read_legacy_bin; layout as
+    produced by the reference's convert scripts, e.g.
+    gpt-2/convert-ckpt-to-ggml.py). tensors: name -> (type, ne_shape,
+    encoded bytes). Used by tests and the model-conversion tools."""
+    with open(path, "wb") as f:
+        f.write(struct.pack("<I", GGML_FILE_MAGIC))
+        for name in hparam_names:
+            f.write(struct.pack("<i", hparams[name]))
+        f.write(struct.pack("<i", len(vocab)))
+        for tok in vocab:
+            b = tok if isinstance(tok, bytes) else str(tok).encode()
+            f.write(struct.pack("<I", len(b)))
+            f.write(b)
+        for name, (t, ne, raw) in tensors.items():
+            nb = name.encode()
+            f.write(struct.pack("<iii", len(ne), len(nb), int(t)))
+            for d in ne:
+                f.write(struct.pack("<i", d))
+            f.write(nb)
+            raw = np.ascontiguousarray(raw).view(np.uint8).reshape(-1)
+            info = FORMATS[t]
+            expect = int(np.prod(ne)) // info.block_size * info.type_size
+            assert raw.nbytes == expect, (name, raw.nbytes, expect)
+            f.write(raw.tobytes())

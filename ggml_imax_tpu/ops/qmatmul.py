@@ -53,6 +53,19 @@ def dequantize_xla(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
     return w.reshape(qt.k, qt.n)
 
 
+# optional activation observer for imatrix collection (quant/imatrix.py):
+# called as observer(qt, x) on every qmatmul. None = disabled (zero cost).
+_activation_observer = None
+
+
+def set_activation_observer(fn):
+    """Install/remove (None) the qmatmul activation observer. Used by
+    ImatrixCollector — the analog of llama.cpp's imatrix eval callback
+    feeding ggml_quantize_chunk's quant_weights (ggml.h:2251)."""
+    global _activation_observer
+    _activation_observer = fn
+
+
 def qmatmul(x: jax.Array, qt: QTensor, *, compute_dtype=jnp.bfloat16,
             out_dtype=None, precision=None) -> jax.Array:
     """x @ dequant(W). x: (..., K) -> (..., N).
@@ -61,6 +74,8 @@ def qmatmul(x: jax.Array, qt: QTensor, *, compute_dtype=jnp.bfloat16,
     precision="highest" for differential tests). Accumulation is always f32.
     """
     out_dtype = out_dtype or x.dtype
+    if _activation_observer is not None:
+        _activation_observer(qt, x)
     w = dequantize_xla(qt, dtype=compute_dtype)
     y = jnp.matmul(x.astype(compute_dtype), w,
                    preferred_element_type=jnp.float32, precision=precision)

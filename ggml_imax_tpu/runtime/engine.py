@@ -79,6 +79,8 @@ class Engine:
     def prefill(self, cache, tokens: np.ndarray, n_past: int = 0):
         """tokens: (B, T). Pads T to a bucket; returns (last_logits, cache)."""
         b, t = tokens.shape
+        if t == 0:
+            raise ValueError("empty prompt: tokenizer produced 0 tokens")
         tb = min(_bucket(t), self.n_ctx)
         pad = tb - t
         toks = np.pad(tokens, ((0, 0), (0, pad)))
