@@ -49,7 +49,8 @@ class LegacyModelFile:
         return self.hparams.get("ftype", 0) % GGML_QNT_VERSION_FACTOR
 
 
-def read_legacy_bin(path: str | Path, hparam_names: list[str]) -> LegacyModelFile:
+def read_legacy_bin(path: str | Path, hparam_names: list[str],
+                    has_vocab: bool = True) -> LegacyModelFile:
     """hparam_names: ordered i32 header fields for this model family, e.g.
     gpt-2: ["n_vocab","n_ctx","n_embd","n_head","n_layer","ftype"]
     gpt-j: ["n_vocab","n_ctx","n_embd","n_head","n_layer","n_rot","ftype"]
@@ -70,12 +71,13 @@ def read_legacy_bin(path: str | Path, hparam_names: list[str]) -> LegacyModelFil
 
     hparams = {name: rd("<i") for name in hparam_names}
 
-    n_vocab = rd("<i")
     vocab = []
-    for _ in range(n_vocab):
-        ln = rd("<I")
-        vocab.append(bytes(buf[pos:pos + ln]))
-        pos += ln
+    if has_vocab:
+        n_vocab = rd("<i")
+        for _ in range(n_vocab):
+            ln = rd("<I")
+            vocab.append(bytes(buf[pos:pos + ln]))
+            pos += ln
 
     tensors: dict[str, LegacyTensor] = {}
     total = buf.nbytes
