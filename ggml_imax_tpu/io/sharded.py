@@ -1,0 +1,73 @@
+"""Shard-aware weight loading for multi-host / multi-chip meshes.
+
+SURVEY §7 hard part (e): a 4 GB+ GGUF must not be replicated through every
+host's memory. Each ggml tensor is stored row-major (one output row = one
+contiguous run of encoded blocks), so sharding along the output dimension
+(our QTensor's N) maps to contiguous byte ranges. This module builds each
+device-layout component (packed nibbles / int8, scales, bias) as a global
+`jax.Array` via `jax.make_array_from_callback`: every host mmap-reads and
+decodes ONLY the row ranges its addressable devices need — the TPU-native
+replacement for the reference's read-everything loader
+(gpt-2/main-backend.cpp:410-418) at pod scale.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..quant.device import QTensor, to_device_format
+from ..quant.formats import FORMATS, GGMLType
+from .gguf import GGUFReader
+
+
+def _row_bytes(t: GGMLType, n_per_row: int) -> int:
+    info = FORMATS[t]
+    assert n_per_row % info.block_size == 0
+    return n_per_row // info.block_size * info.type_size
+
+
+def load_qtensor_sharded(reader: GGUFReader, name: str, mesh: Mesh,
+                         axis: str = "tp") -> QTensor:
+    """Load a 2-D GGUF tensor as a QTensor whose arrays are sharded along N
+    (the output dim) over `axis` of the mesh. Rows are decoded lazily per
+    shard; each host touches only its devices' byte ranges."""
+    info = reader.tensors[name]
+    assert len(info.shape) == 2, (name, info.shape)
+    k = info.shape[0]                     # ggml ne[0] = row length
+    n = info.shape[1]                     # output rows
+    t = info.ggml_type
+    rb = _row_bytes(t, k)
+    n_shards = mesh.shape[axis]
+    assert n % n_shards == 0, (name, n, n_shards)
+    raw = reader.tensor_data(name)        # zero-copy mmap view
+
+    cache: dict[tuple[int, int], QTensor] = {}
+
+    def shard_qt(r0: int, r1: int) -> QTensor:
+        key = (r0, r1)
+        if key not in cache:
+            sl = raw[r0 * rb:r1 * rb]
+            cache[key] = to_device_format(sl, t, (k, r1 - r0))
+        return cache[key]
+
+    probe = shard_qt(0, n // n_shards)    # shapes/dtypes template
+
+    def build(component: str, full_cols: int, dtype, ncols_of):
+        sharding = NamedSharding(mesh, P(None, axis))
+        shape = (np.asarray(getattr(probe, component)).shape[0], full_cols)
+
+        def cb(index):
+            cs = index[1]
+            c0 = cs.start or 0
+            c1 = cs.stop if cs.stop is not None else full_cols
+            qt = shard_qt(c0, c1)
+            return np.asarray(getattr(qt, component), dtype=dtype)
+
+        return jax.make_array_from_callback(shape, sharding, cb)
+
+    q_dtype = np.asarray(probe.q).dtype
+    q = build("q", n, q_dtype, None)
+    scale = build("scale", n, np.float32, None) if probe.scale is not None else None
+    bias = build("bias", n, np.float32, None) if probe.bias is not None else None
+    return QTensor(probe.kind, q, scale, bias, k, n, t, zero=probe.zero)
