@@ -1,0 +1,3 @@
+"""Model families (reference examples parity): gpt2, gptj, llama, whisper,
+mnist, sam, yolo, magika. Each module exposes config + loaders + pure
+forward functions."""
