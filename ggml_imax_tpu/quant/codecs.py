@@ -941,3 +941,96 @@ def dequantize(raw: np.ndarray, t: GGMLType, shape: tuple[int, ...] | None = Non
         if out is None:
             out = _DEQUANTIZERS[t](raw)
     return out.reshape(shape) if shape is not None else out
+
+
+# ---------------------------------------------------------------------------
+# IQ4_NL: non-linear 4-bit (first of the "IQ" family; ggml-common.h:400-407,
+# kvalues table ggml-quants.c:3321, quantizer quantize_row_iq4_nl_impl
+# ggml-quants.c:14177-14260 with ntry=7, dequant :3323-3339)
+# ---------------------------------------------------------------------------
+
+KVALUES_IQ4NL = np.asarray([-127, -104, -83, -65, -49, -35, -22, -10,
+                            1, 13, 25, 38, 53, 69, 89, 113], dtype=np.int8)
+
+BLOCK_DTYPES[GGMLType.IQ4_NL] = np.dtype([("d", "<f2"), ("qs", "u1", (QK // 2,))])
+assert BLOCK_DTYPES[GGMLType.IQ4_NL].itemsize == FORMATS[GGMLType.IQ4_NL].type_size
+
+
+def _best_index_iq4nl(x: np.ndarray) -> np.ndarray:
+    """Vectorized best_index_int8 (ggml-quants.c:14166): nearest entry of the
+    sorted kvalues table, ties resolved toward the lower index."""
+    vals = KVALUES_IQ4NL.astype(f32)
+    mu = np.searchsorted(vals, x, side="left").astype(np.int32)
+    mu = np.clip(mu, 1, 15)
+    lo_closer = (x - vals[mu - 1]) < (vals[mu] - x)
+    idx = np.where(lo_closer, mu - 1, mu)
+    idx = np.where(x <= vals[0], 0, idx)
+    idx = np.where(x >= vals[15], 15, idx)
+    return idx.astype(np.uint8)
+
+
+def quantize_iq4_nl(x: np.ndarray, ntry: int = 7) -> np.ndarray:
+    """ntry=7 matches the ggml_quantize_chunk path (quantize_iq4_nl,
+    ggml-quants.c:14260+, what model files contain); ntry=-1 matches
+    quantize_row_iq4_nl_reference (:14310-14328, no retry/re-index).
+    Reference quirk reproduced: an all-zero block stores d=0 and packs the
+    *previous* block's L scratch buffer (stale stack state); we forward-fill
+    the previous block's indices (zeros if the first block is dead)."""
+    xb = _blocks_in(x, QK)
+    nb = len(xb)
+    vals = KVALUES_IQ4NL.astype(f32)
+    w = xb * xb                                       # weight = x^2 (no qw)
+    mx = _signed_absmax(xb)
+    amax = np.abs(mx)
+    dead = amax == 0
+    mx_safe = np.where(dead, f32(1.0), mx)
+
+    def score(idv):
+        L = _best_index_iq4nl(idv[:, None] * xb)
+        q = vals[L]
+        sumqx = _seqsum(w * q * xb)
+        sumq2 = _seqsum(w * q * q)
+        return L, sumqx, sumq2
+
+    sign = f32(-1.0) if ntry > 0 else f32(1.0)
+    d0 = (sign * mx_safe / vals[0]).astype(f32)
+    L, sumqx, sumq2 = score((f32(1.0) / d0).astype(f32))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        d = np.where(sumq2 > 0, sumqx / sumq2, f32(0.0)).astype(f32)
+    best = d * sumqx
+    if ntry > 0:
+        for itry in range(-ntry, ntry + 1):
+            idv = ((f32(itry) + vals[0]) / mx_safe).astype(f32)
+            _, sqx, sq2 = score(idv)
+            better = (sq2 > 0) & (sqx * sqx > best * sq2)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                d = np.where(better, sqx / sq2, d).astype(f32)
+            best = np.where(better, d * sqx, best)
+        d = np.where(dead, f32(0.0), d)
+        # final re-index against the chosen f32 scale (:14246-14251)
+        L = _best_index_iq4nl(_safe_inv(d)[:, None] * xb)
+    else:
+        d = np.where(dead, f32(0.0), d)
+        # dead blocks keep the previous block's L scratch (stale stack)
+        if dead.any():
+            Lf = L.copy()
+            for i in np.nonzero(dead)[0]:
+                Lf[i] = Lf[i - 1] if i > 0 else 0
+            L = Lf
+    out = np.zeros(nb, dtype=BLOCK_DTYPES[GGMLType.IQ4_NL])
+    out["d"] = _fp16(d)
+    out["qs"] = L[:, : QK // 2] | (L[:, QK // 2:] << 4)
+    return out.view(np.uint8)
+
+
+def dequantize_iq4_nl(raw: np.ndarray) -> np.ndarray:
+    b = _blocks_view(raw, GGMLType.IQ4_NL)
+    d = b["d"].astype(f32)[:, None]
+    vals = KVALUES_IQ4NL.astype(f32)
+    lo = vals[(b["qs"] & 0x0F).astype(np.int32)]
+    hi = vals[(b["qs"] >> 4).astype(np.int32)]
+    return (np.concatenate([lo, hi], axis=1) * d).reshape(-1)
+
+
+_QUANTIZERS[GGMLType.IQ4_NL] = quantize_iq4_nl
+_DEQUANTIZERS[GGMLType.IQ4_NL] = dequantize_iq4_nl

@@ -211,6 +211,14 @@ def to_device_format(raw: np.ndarray, t: GGMLType, shape_ne: tuple[int, ...]) ->
         scale = (b["d"].astype(f32)[..., None] * b["scales"].astype(f32)).reshape(n, -1)  # per-16
         return QTensor("int8", qdev, np.ascontiguousarray(scale.T), None, k, n, t)
 
+    if t == GGMLType.IQ4_NL:
+        d = b["d"].astype(f32)                        # (N, K/32)
+        lut = codecs.KVALUES_IQ4NL                    # nonlinear grid -> int8
+        lo = lut[(b["qs"] & 0x0F).astype(np.int32)]
+        hi = lut[(b["qs"] >> 4).astype(np.int32)]
+        q = np.concatenate([lo, hi], axis=2).reshape(n, k)
+        return QTensor("int8", np.ascontiguousarray(q.T), _per32(d), None, k, n, t)
+
     raise NotImplementedError(f"no device layout for {t}")
 
 

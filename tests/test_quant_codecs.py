@@ -97,3 +97,41 @@ def test_zero_and_constant_blocks():
         y = codecs.dequantize(codecs.quantize(x, t), t)
         assert np.all(np.isfinite(y)), name
         assert np.abs(y - 2.5).max() < 0.3, name
+
+
+# ---- IQ4_NL (added after golden_quant.npz was generated; verified bit-exact
+# against the compiled reference for both entry points — the ntry=7 chunk
+# path (ggml_quantize_chunk/quantize_iq4_nl) and the ntry=-1 row path —
+# except the reference's undefined-behavior case of an all-zero FIRST block
+# (packs uninitialized stack memory with d=0) ----
+
+def test_iq4_nl_roundtrip_and_layout(rng):
+    from ggml_imax_tpu.quant import codecs
+    from ggml_imax_tpu.quant.formats import FORMATS, GGMLType
+    x = (rng.standard_normal(2048) * 0.8).astype(np.float32)
+    raw = codecs.quantize(x, GGMLType.IQ4_NL)
+    assert raw.nbytes == 2048 // 32 * FORMATS[GGMLType.IQ4_NL].type_size
+    y = codecs.dequantize(raw, GGMLType.IQ4_NL)
+    rmse = np.sqrt(np.mean((x - y) ** 2))
+    assert rmse < 0.002 * 40   # same contract family as 4-bit formats
+    # nonlinear grid: dequantized values / d must lie on the kvalues table
+    blk = raw.view(codecs.BLOCK_DTYPES[GGMLType.IQ4_NL])
+    d = blk["d"].astype(np.float32)
+    vals = set(codecs.KVALUES_IQ4NL.tolist())
+    lv = np.concatenate([blk["qs"] & 0xF, blk["qs"] >> 4], axis=1)
+    assert set(np.unique(lv)).issubset(set(range(16)))
+    ratio = y.reshape(-1, 32) / np.where(d == 0, 1, d)[:, None]
+    assert set(np.rint(ratio[d != 0]).astype(int).ravel()).issubset(vals)
+
+
+def test_iq4_nl_dead_block_semantics(rng):
+    from ggml_imax_tpu.quant import codecs
+    from ggml_imax_tpu.quant.formats import GGMLType
+    x = (rng.standard_normal(128) * 0.5).astype(np.float32)
+    x[32:64] = 0.0                     # dead block NOT first
+    raw = codecs.quantize_iq4_nl(x, ntry=-1)
+    blk = raw.reshape(-1, 18)
+    assert blk[1, :2].view(np.float16)[0] == 0          # d == 0
+    np.testing.assert_array_equal(blk[1, 2:], blk[0, 2:])  # stale-L quirk
+    y = codecs.dequantize(raw, GGMLType.IQ4_NL)
+    np.testing.assert_array_equal(y[32:64], 0.0)
