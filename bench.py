@@ -50,6 +50,24 @@ def main():
         # .to_dense_bf16 for the measured rationale)
         from ggml_imax_tpu.quant.device import params_to_dense_bf16
         params = params_to_dense_bf16(params)
+    elif resident == "q4":
+        # block-interleave for the fused Pallas decode kernel (measured
+        # 1.2x faster than dense bf16 per GEMV at 1/4 the HBM footprint).
+        # Pad the LM head's vocab dim to a 128 tile so it takes the fused
+        # path too; padded logits get -1e30 bias so argmax never picks them.
+        from dataclasses import replace as _rp
+        from ggml_imax_tpu.ops.pallas_qmm import params_repack_device
+        h = params["lmh_w"]
+        vpad = (-h.n) % 128
+        if vpad and h.kind == "nib4":
+            params["lmh_w"] = _rp(
+                h,
+                q=jnp.pad(h.q, ((0, 0), (0, vpad))),
+                scale=jnp.pad(h.scale, ((0, 0), (0, vpad))),
+                n=h.n + vpad)
+            params["lmh_b"] = jnp.pad(params["lmh_b"], (0, vpad),
+                                      constant_values=-1e30)
+        params = params_repack_device(params)
     jax.block_until_ready(params)
     load_s = time.time() - t0
     print(f"# params staged+transferred in {load_s:.1f}s (resident={resident})",

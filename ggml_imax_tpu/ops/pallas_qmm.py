@@ -46,6 +46,44 @@ def repack_interleaved(qt: QTensor, bk: int = DEFAULT_BK) -> QTensor:
     return replace(qt, q=qs_bi, interleaved_bk=bk)
 
 
+def repack_interleaved_device(qt: QTensor, bk: int = DEFAULT_BK) -> QTensor:
+    """Same layout transform as repack_interleaved but on device (jnp) — for
+    weights that already live in HBM (no host round trip)."""
+    assert qt.kind == "nib4" and qt.interleaved_bk == 0
+    assert qt.k % bk == 0, (qt.k, bk)
+    nb = bk // 32
+
+    @jax.jit
+    def rp(qs):
+        qs_t = qs.reshape(qt.k // bk, nb, 16, qt.n)
+        return qs_t.transpose(0, 2, 1, 3).reshape(qt.k // 2, qt.n)
+
+    return replace(qt, q=rp(jnp.asarray(qt.q)),
+                   scale=jnp.asarray(qt.scale),
+                   bias=None if qt.bias is None else jnp.asarray(qt.bias),
+                   interleaved_bk=bk)
+
+
+def params_repack_device(params, bk: int = DEFAULT_BK):
+    """Repack every natural-layout nib4 QTensor leaf of a params pytree for
+    the fused kernel (one-time at load, the analog of the reference's
+    per-backend weight re-encoding, src/ggml-cuda/convert.cu)."""
+    def conv(x):
+        if isinstance(x, QTensor) and x.kind == "nib4" \
+                and x.interleaved_bk == 0 and x.k % bk == 0:
+            return repack_interleaved_device(x, bk)
+        return x
+
+    def walk(d):
+        if isinstance(d, dict):
+            return {k: walk(v) for k, v in d.items()}
+        if isinstance(d, list):
+            return [walk(v) for v in d]
+        return conv(d)
+
+    return walk(params)
+
+
 def _split_scales(qt: QTensor):
     """-> (s_lo, s_hi, b_lo, b_hi), each (K/32, N) f32. For per-32 formats the
     lo/hi views are identical; for per-16 formats they are the even/odd rows."""
@@ -111,6 +149,12 @@ def qmatmul_pallas(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
     nb = bk // 32
     k, n = qt.k, qt.n
     bn = min(bn, n)
+    if n % bn:
+        # largest 128-multiple tile dividing n (kernel needs exact tiling)
+        for cand in (512, 256, 128):
+            if n % cand == 0:
+                bn = cand
+                break
     assert n % bn == 0, (n, bn)
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"

@@ -38,6 +38,11 @@ def dequantize_xla(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
 
     if qt.kind == "nib4":
         qs = jnp.asarray(qt.q)                                   # (K/2, N)
+        if qt.interleaved_bk:
+            # undo the fused-kernel tile interleave (repack_interleaved)
+            nb = qt.interleaved_bk // 32
+            qs = (qs.reshape(qt.k // qt.interleaved_bk, 16, nb, qt.n)
+                  .transpose(0, 2, 1, 3).reshape(qt.k // 2, qt.n))
         g = qs.reshape(qt.k // 32, 16, qt.n)
         lo = (g & 0x0F).astype(jnp.int8) - qt.zero
         hi = (g >> 4).astype(jnp.int8) - qt.zero
@@ -51,6 +56,14 @@ def dequantize_xla(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
     if qt.bias is not None:
         w = w + jnp.asarray(qt.bias).astype(dtype)[:, None, :]
     return w.reshape(qt.k, qt.n)
+
+
+def _leading(x) -> int:
+    """Product of leading (non-contraction) dims — the GEMM m."""
+    m = 1
+    for d in x.shape[:-1]:
+        m *= int(d)
+    return m
 
 
 # optional activation observer for imatrix collection (quant/imatrix.py):
@@ -76,6 +89,16 @@ def qmatmul(x: jax.Array, qt: QTensor, *, compute_dtype=jnp.bfloat16,
     out_dtype = out_dtype or x.dtype
     if _activation_observer is not None:
         _activation_observer(qt, x)
+    # fused-kernel fast path: block-interleaved weights (repack_interleaved /
+    # params_repack_device at load) + decode-sized m on a real TPU. Measured
+    # (v5e, K=4096 N=16384 GEMV): 0.173 ms vs 0.209 ms dense-bf16 vs 0.390 ms
+    # XLA-fused — the mmvq-for-small-batch dispatch of the reference
+    # (ggml-cuda.cu:1867-1960), with XLA dense for large m (MXU-efficient).
+    if (qt.kind == "nib4" and qt.interleaved_bk > 0
+            and jax.devices()[0].platform == "tpu"
+            and _leading(x) <= 32 and qt.n % 128 == 0):
+        from .pallas_qmm import qmatmul_pallas
+        return qmatmul_pallas(x, qt).astype(out_dtype)
     w = dequantize_xla(qt, dtype=compute_dtype)
     y = jnp.matmul(x.astype(compute_dtype), w,
                    preferred_element_type=jnp.float32, precision=precision)

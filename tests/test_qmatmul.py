@@ -85,3 +85,70 @@ def test_qmatmul_under_jit():
                                       out_dtype=jnp.float32, precision="highest"))
     out = f(jnp.asarray(x), qt)   # QTensor is a pytree -> passes jit boundary
     assert nmse(out, ref) < 1e-9
+
+
+def test_dequantize_xla_handles_interleaved(rng):
+    """The XLA fallback must decode block-interleaved (fused-kernel layout)
+    weights identically to the natural layout."""
+    import jax.numpy as jnp
+    from ggml_imax_tpu.ops.pallas_qmm import repack_interleaved
+    from ggml_imax_tpu.ops.qmatmul import dequantize_xla
+    from ggml_imax_tpu.quant.device import quantize_for_device
+    from ggml_imax_tpu.quant.formats import GGMLType
+    w = (rng.standard_normal((1024, 64)) * 0.3).astype(np.float32)
+    qt = quantize_for_device(w, GGMLType.Q4_0)
+    ref = np.asarray(dequantize_xla(qt, dtype=jnp.float32))
+    qi = repack_interleaved(qt, bk=512)
+    got = np.asarray(dequantize_xla(qi, dtype=jnp.float32))
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_repack_device_matches_host(rng):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from ggml_imax_tpu.ops.pallas_qmm import (repack_interleaved,
+                                              repack_interleaved_device)
+    from ggml_imax_tpu.quant.device import quantize_for_device
+    from ggml_imax_tpu.quant.formats import GGMLType
+    w = (rng.standard_normal((1024, 32)) * 0.3).astype(np.float32)
+    qt = quantize_for_device(w, GGMLType.Q4_0)
+    a = repack_interleaved(qt, bk=512)
+    b = repack_interleaved_device(qt, bk=512)
+    np.testing.assert_array_equal(np.asarray(a.q), np.asarray(b.q))
+    assert b.interleaved_bk == 512
+
+
+def test_get_rows_handles_interleaved(rng):
+    import jax.numpy as jnp
+    from ggml_imax_tpu.ops.embedding import get_rows
+    from ggml_imax_tpu.ops.pallas_qmm import repack_interleaved
+    from ggml_imax_tpu.quant.device import quantize_for_device
+    from ggml_imax_tpu.quant.formats import GGMLType
+    w = (rng.standard_normal((1024, 40)) * 0.3).astype(np.float32)
+    qt = quantize_for_device(w, GGMLType.Q4_0)
+    ids = jnp.asarray([0, 7, 39, 2])
+    ref = np.asarray(get_rows(qt, ids, dtype=jnp.float32))
+    got = np.asarray(get_rows(repack_interleaved(qt, bk=512), ids,
+                              dtype=jnp.float32))
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_gptj_forward_invariant_under_repack(rng):
+    """Whole-model check: repacking weights for the fused kernel must not
+    change logits through any path (matmul, embedding gather)."""
+    import jax.numpy as jnp
+    from ggml_imax_tpu.models import gptj
+    from ggml_imax_tpu.ops.pallas_qmm import params_repack_device
+    from ggml_imax_tpu.quant.formats import GGMLType
+    cfg = gptj.GPTJConfig(n_vocab=64, n_ctx=32, n_embd=512, n_head=2,
+                          n_layer=1, n_rot=32)
+    params = gptj.synthetic_params(cfg, GGMLType.Q4_0, seed=2)
+    toks = jnp.asarray(rng.integers(0, 64, (1, 4)).astype(np.int32))
+    pos = jnp.arange(4, dtype=jnp.int32)[None]
+    cache = gptj.init_cache(cfg, batch=1, dtype=jnp.float32)
+    ref, _ = gptj.forward(cfg, params, toks, pos, cache, 0,
+                          compute_dtype=jnp.float32)
+    cache2 = gptj.init_cache(cfg, batch=1, dtype=jnp.float32)
+    got, _ = gptj.forward(cfg, params_repack_device(params), toks, pos,
+                          cache2, 0, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
