@@ -85,6 +85,40 @@ def main():
     tok = jnp.ones((batch, 1), jnp.int32)
     n_warm, n_meas = 8, 64
 
+    if "--scan" in sys.argv:
+        # whole decode loop on device (lax.scan + on-device argmax): one
+        # dispatch per n_meas tokens — isolates device throughput from the
+        # tunnel's per-call dispatch latency
+        @jax.jit
+        def decode_n(params, tok, cache, start, n):
+            def body(carry, i):
+                tok, cache = carry
+                pos = jnp.full((batch, 1), start + i, jnp.int32)
+                nxt, cache = None, cache
+                logits, cache = gptj.forward(cfg, params, tok, pos, cache,
+                                             start + i)
+                nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+                return (nxt, cache), nxt[0, 0]
+            (tok, cache), toks = jax.lax.scan(body, (tok, cache),
+                                              jnp.arange(n), length=n)
+            return tok, cache, toks
+
+        t0 = time.time()
+        tok, cache, _ = decode_n(params, tok, cache, 0, n_warm)
+        _ = int(tok[0, 0])
+        print(f"# scan warmup (compile): {time.time()-t0:.1f}s", file=sys.stderr)
+        t0 = time.perf_counter()
+        tok, cache, _ = decode_n(params, tok, cache, n_warm, n_meas)
+        _ = int(tok[0, 0])
+        dt = time.perf_counter() - t0
+        tok_s = n_meas * batch / dt
+        print(f"# scan: {n_meas} tokens in {dt*1e3:.1f} ms", file=sys.stderr)
+        print(json.dumps({
+            "metric": f"GPT-J-6B Q4_0 decode tokens/sec/chip (fused loop)",
+            "value": round(tok_s, 2), "unit": "tok/s",
+            "vs_baseline": round(tok_s / BASELINE_TOK_S, 2)}))
+        return
+
     # NOTE: on the axon tunnel backend, block_until_ready() does NOT wait for
     # execution; only a value fetch round-trips. We therefore time a chain of
     # data-dependent decode steps ended by one scalar fetch, and subtract the

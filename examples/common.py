@@ -29,6 +29,9 @@ def gpt_argparser(desc: str) -> argparse.ArgumentParser:
                    help="(compat) ignored — use sharding for multi-chip")
     p.add_argument("--f32", action="store_true",
                    help="compute in f32 instead of bf16")
+    p.add_argument("--resident", choices=("as-is", "q4-fused", "bf16"),
+                   default="q4-fused",
+                   help="device weight residency (fused Pallas q4 default)")
     return p
 
 
@@ -39,7 +42,8 @@ def run_generation(model_module, cfg, params, tok, args, eos_id=None):
 
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
     eng = Engine(model_module, cfg, params, compute_dtype=dtype,
-                 kv_dtype=dtype, n_ctx=args.ctx_size or None)
+                 kv_dtype=dtype, n_ctx=args.ctx_size or None,
+                 residency="as-is" if args.f32 else args.resident)
     prompt_ids = tok.encode(args.prompt)
     print(f"prompt: {len(prompt_ids)} tokens | seed {args.seed}",
           file=sys.stderr)

@@ -27,16 +27,20 @@ def get_rows(qt: QTensor, ids, dtype=jnp.bfloat16):
 
     if qt.kind == "nib4":
         qs = jnp.asarray(qt.q)                            # (K/2, N)
-        if qt.interleaved_bk:
-            # undo the fused-kernel tile interleave (ops/pallas_qmm.py)
-            nb = qt.interleaved_bk // 32
-            qs = (qs.reshape(qt.k // qt.interleaved_bk, 16, nb, qt.n)
-                  .transpose(0, 2, 1, 3).reshape(qt.k // 2, qt.n))
-        cols = qs.T[ids]                                  # (..., K/2)
-        g = cols.reshape(*cols.shape[:-1], qt.k // 32, 16)
-        lo = (g & 0x0F).astype(jnp.int8) - qt.zero
-        hi = (g >> 4).astype(jnp.int8) - qt.zero
-        q = jnp.concatenate([lo, hi], axis=-1).reshape(*cols.shape[:-1], qt.k)
+        if qt.q4_layout == 1:
+            from .qmatmul import _unpack_rowpair
+            q = _unpack_rowpair(qs, qt).T[ids]            # (..., K) signed
+        else:
+            if qt.interleaved_bk:
+                # undo the fused-kernel tile interleave (ops/pallas_qmm.py)
+                nb = qt.interleaved_bk // 32
+                qs = (qs.reshape(qt.k // qt.interleaved_bk, 16, nb, qt.n)
+                      .transpose(0, 2, 1, 3).reshape(qt.k // 2, qt.n))
+            cols = qs.T[ids]                              # (..., K/2)
+            g = cols.reshape(*cols.shape[:-1], qt.k // 32, 16)
+            lo = (g & 0x0F).astype(jnp.int8) - qt.zero
+            hi = (g >> 4).astype(jnp.int8) - qt.zero
+            q = jnp.concatenate([lo, hi], axis=-1).reshape(*cols.shape[:-1], qt.k)
     else:
         q = jnp.asarray(qt.q).T[ids]                      # (..., K)
 

@@ -64,13 +64,63 @@ def repack_interleaved_device(qt: QTensor, bk: int = DEFAULT_BK) -> QTensor:
                    interleaved_bk=bk)
 
 
+def repack_rowpair_device(qt: QTensor, bk: int = DEFAULT_BK) -> QTensor:
+    """Row-pair int4-bitcast layout (q4_layout=1) — the fastest decode path.
+
+    Mosaic's `pltpu.bitcast(u8, int4)` doubles the SUBLANE axis with the low
+    nibble first, and int4->bf16 vector casts are native. So: store adjacent
+    (permuted) contraction rows in one byte, XOR 8 (offset-binary -> two's
+    complement, making the signed int4 read equal q - 8), and the kernel
+    unpack collapses to bitcast + one cast + one multiply (~2 VPU ops/elt vs
+    ~5 for the plane-split layout). Measured v5e GEMV (K=4096, N=16384):
+    0.097 ms (435 GB/s eff) vs 0.173 ms plane-split vs 0.209 ms dense bf16.
+
+    Row permutation: logical element (block b, intra e) -> bitcast row
+    u = e*NB + b, so the per-block scale expansion is a 32x tile-repeat
+    (srep[u] = s[u mod NB]). Requires per-32 scales and zero-point 8 folded
+    via XOR (per-16 formats keep the plane-split kernel).
+    """
+    assert qt.kind == "nib4" and qt.interleaved_bk == 0 and qt.zero in (0, 8)
+    assert qt.k % bk == 0, (qt.k, bk)
+    groups = np.asarray(qt.scale).shape[0] if not hasattr(qt.scale, "shape") \
+        else qt.scale.shape[0]
+    assert groups == qt.k // 32, "rowpair layout needs per-32 scales"
+    nb = bk // 32
+
+    @jax.jit
+    def rp(qs):
+        # natural plane-split (K/2, N): byte row 16b+j = elements (32b+j) lo,
+        # (32b+16+j) hi -> recover natural-order values, then re-pack
+        g = qs.reshape(qt.k // 32, 16, qt.n)
+        lo = g & 0x0F
+        hi = g >> 4
+        vals = jnp.concatenate([lo, hi], axis=1).reshape(qt.k, qt.n)
+        vals = vals ^ 8                           # signed int4 read = q - 8
+        # rows -> u-order: (tile, b, e) -> u = e*nb + b
+        vt = vals.reshape(qt.k // bk, nb, 32, qt.n).transpose(0, 2, 1, 3)
+        vt = vt.reshape(qt.k // bk, bk, qt.n)
+        return (vt[:, 0::2] | (vt[:, 1::2] << 4)).reshape(qt.k // 2, qt.n)
+
+    scale = jnp.asarray(qt.scale)
+    bias = None if qt.bias is None else jnp.asarray(qt.bias)
+    if qt.zero == 0:
+        # stored values shift by -8; compensate in the affine bias
+        bias = 8.0 * scale if bias is None else bias + 8.0 * scale
+    return replace(qt, q=rp(jnp.asarray(qt.q)), scale=scale, bias=bias,
+                   zero=8, interleaved_bk=bk, q4_layout=1)
+
+
 def params_repack_device(params, bk: int = DEFAULT_BK):
     """Repack every natural-layout nib4 QTensor leaf of a params pytree for
     the fused kernel (one-time at load, the analog of the reference's
-    per-backend weight re-encoding, src/ggml-cuda/convert.cu)."""
+    per-backend weight re-encoding, src/ggml-cuda/convert.cu). Per-32-scale
+    tensors get the row-pair int4 layout; per-16 keep plane-split."""
     def conv(x):
         if isinstance(x, QTensor) and x.kind == "nib4" \
                 and x.interleaved_bk == 0 and x.k % bk == 0:
+            groups = x.scale.shape[0]
+            if groups == x.k // 32 and x.zero in (0, 8):
+                return repack_rowpair_device(x, bk)
             return repack_interleaved_device(x, bk)
         return x
 
@@ -139,12 +189,55 @@ def _kernel_noround(has_bias, zero, x_ref, qs_ref, slo_ref, shi_ref, *rest):
         o_ref[:] = acc_ref[:]
 
 
+def _permute_activations_rowpair(x, k, bk):
+    """Activation permutation for the row-pair layout: element
+    (tile, block b, intra e) -> row u = e*NB + b."""
+    nb = bk // 32
+    lead = x.shape[:-1]
+    xr = x.reshape(*lead, k // bk, nb, 32)
+    return xr.swapaxes(-2, -1).reshape(*lead, k)
+
+
+def _kernel_rowpair(has_bias, interpret, *refs):
+    if has_bias:
+        x_ref, qs_ref, s_ref, xs_ref, b_ref, o_ref, acc_ref = refs
+    else:
+        x_ref, qs_ref, s_ref, o_ref, acc_ref = refs
+    kk = pl.program_id(1)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    if interpret:
+        # the Pallas interpreter lacks the int4 bitcast; emulate exactly
+        g = qs_ref[:].astype(jnp.int32)
+        lo = ((g & 15) ^ 8) - 8
+        hi = ((g >> 4) ^ 8) - 8
+        bk2, bn = lo.shape
+        w = jnp.stack([lo, hi], axis=1).reshape(2 * bk2, bn).astype(jnp.bfloat16)
+    else:
+        w = pltpu.bitcast(qs_ref[:], jnp.int4).astype(jnp.bfloat16)
+    w = w * pltpu.repeat(s_ref[:].astype(jnp.bfloat16), 32, axis=0)
+    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+    if has_bias:
+        # exact affine term in f32: sum_b bias[b,n] * (sum_{k in b} x_k)
+        acc_ref[:] += jnp.dot(xs_ref[:], b_ref[:],
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(kk == pl.num_programs(1) - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
 def qmatmul_pallas(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
                    interpret: bool | None = None) -> jax.Array:
     """Fused quantized matmul on a block-interleaved nib4 QTensor.
     x: (..., K) bf16/f32 -> (..., N) f32."""
     assert qt.kind == "nib4" and qt.interleaved_bk > 0, \
         "qmatmul_pallas requires repack_interleaved() weights"
+    if qt.q4_layout == 1:
+        return _qmatmul_rowpair(x, qt, bn=bn, interpret=interpret)
     bk = qt.interleaved_bk
     nb = bk // 32
     k, n = qt.k, qt.n
@@ -195,6 +288,68 @@ def qmatmul_pallas(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
             bytes_accessed=k * n // 2 + k // 32 * n * 4 + m * k * 2 + m * n * 4,
             transcendentals=0,
         ),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(*lead, n)
+
+
+def _qmatmul_rowpair(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
+                     interpret: bool | None = None) -> jax.Array:
+    """Row-pair int4-bitcast path (see repack_rowpair_device)."""
+    bk = qt.interleaved_bk
+    nb = bk // 32
+    k, n = qt.k, qt.n
+    bn = min(bn, n)
+    if n % bn:
+        for cand in (512, 256, 128):
+            if n % cand == 0:
+                bn = cand
+                break
+    assert n % bn == 0, (n, bn)
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+
+    lead = x.shape[:-1]
+    m = int(np.prod(lead)) if lead else 1
+    x2 = x.reshape(m, k).astype(jnp.bfloat16)
+    xp = _permute_activations_rowpair(x2, k, bk)
+
+    has_bias = qt.bias is not None
+    args = [xp, jnp.asarray(qt.q), jnp.asarray(qt.scale)]
+    in_specs = [
+        pl.BlockSpec((m, bk), lambda nn, kk: (0, kk), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk // 2, bn), lambda nn, kk: (kk, nn),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, bn), lambda nn, kk: (kk, nn),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_bias:
+        # per-quant-block activation sums (natural block order) for the
+        # exact f32 affine term
+        xs = x2.astype(jnp.float32).reshape(m, k // 32, 32).sum(axis=-1)
+        args += [xs, jnp.asarray(qt.bias)]
+        in_specs += [
+            pl.BlockSpec((m, nb), lambda nn, kk: (0, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, bn), lambda nn, kk: (kk, nn),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    out = pl.pallas_call(
+        partial(_kernel_rowpair, has_bias, interpret),
+        grid=(n // bn, k // bk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((m, bn), lambda nn, kk: (0, nn),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=k * n // 2 + k // 32 * n * 4 * (2 if has_bias else 1)
+            + m * k * 2 + m * n * 4,
+            transcendentals=0),
         interpret=interpret,
     )(*args)
     return out.reshape(*lead, n)

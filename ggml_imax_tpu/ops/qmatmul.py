@@ -26,6 +26,19 @@ import jax.numpy as jnp
 from ..quant.device import QTensor
 
 
+def _unpack_rowpair(qs, qt):
+    """Decode the row-pair int4 layout (ops/pallas_qmm.repack_rowpair_device)
+    back to signed values (K, N): nibble = (stored ^ 8) - 8; interleave the
+    byte's two rows; undo the u = e*NB + b row permutation."""
+    bk = qt.interleaved_bk
+    nb = bk // 32
+    lo = ((qs & 0x0F) ^ 8).astype(jnp.int8) - 8
+    hi = ((qs >> 4) ^ 8).astype(jnp.int8) - 8
+    u = jnp.stack([lo, hi], axis=1).reshape(qt.k, qt.n)      # u-order rows
+    return (u.reshape(qt.k // bk, 32, nb, qt.n)
+            .transpose(0, 2, 1, 3).reshape(qt.k, qt.n))
+
+
 def dequantize_xla(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
     """Expand a QTensor to a dense (K, N) array inside a traced computation.
     XLA fuses this into the consuming matmul."""
@@ -38,15 +51,18 @@ def dequantize_xla(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
 
     if qt.kind == "nib4":
         qs = jnp.asarray(qt.q)                                   # (K/2, N)
-        if qt.interleaved_bk:
-            # undo the fused-kernel tile interleave (repack_interleaved)
-            nb = qt.interleaved_bk // 32
-            qs = (qs.reshape(qt.k // qt.interleaved_bk, 16, nb, qt.n)
-                  .transpose(0, 2, 1, 3).reshape(qt.k // 2, qt.n))
-        g = qs.reshape(qt.k // 32, 16, qt.n)
-        lo = (g & 0x0F).astype(jnp.int8) - qt.zero
-        hi = (g >> 4).astype(jnp.int8) - qt.zero
-        q = jnp.concatenate([lo, hi], axis=1).reshape(qt.k, qt.n)
+        if qt.q4_layout == 1:
+            q = _unpack_rowpair(qs, qt)
+        else:
+            if qt.interleaved_bk:
+                # undo the fused-kernel tile interleave (repack_interleaved)
+                nb = qt.interleaved_bk // 32
+                qs = (qs.reshape(qt.k // qt.interleaved_bk, 16, nb, qt.n)
+                      .transpose(0, 2, 1, 3).reshape(qt.k // 2, qt.n))
+            g = qs.reshape(qt.k // 32, 16, qt.n)
+            lo = (g & 0x0F).astype(jnp.int8) - qt.zero
+            hi = (g >> 4).astype(jnp.int8) - qt.zero
+            q = jnp.concatenate([lo, hi], axis=1).reshape(qt.k, qt.n)
     elif qt.kind == "int8":
         q = jnp.asarray(qt.q)                                    # (K, N) int8
     else:

@@ -50,17 +50,23 @@ class QTensor:
     n: int
     ggml_type: GGMLType
     zero: int = 0             # nib4 zero-point (see module docstring)
-    interleaved_bk: int = 0   # 0 = natural layout; else block-interleave tile
+    interleaved_bk: int = 0   # 0 = natural layout; else fused-kernel tile
+    q4_layout: int = 0        # 0 = plane-split nibbles (ops/pallas_qmm
+                              # repack_interleaved); 1 = row-pair int4-bitcast
+                              # layout (repack_rowpair_device) — adjacent
+                              # contraction rows share a byte, values stored
+                              # XOR 8 so a signed-int4 bitcast yields q-zero
 
     def tree_flatten(self):
         return (self.q, self.scale, self.bias), (
-            self.kind, self.k, self.n, self.ggml_type, self.zero, self.interleaved_bk)
+            self.kind, self.k, self.n, self.ggml_type, self.zero,
+            self.interleaved_bk, self.q4_layout)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         q, scale, bias = children
-        kind, k, n, t, z, ibk = aux
-        return cls(kind, q, scale, bias, k, n, t, z, ibk)
+        kind, k, n, t, z, ibk, q4l = aux
+        return cls(kind, q, scale, bias, k, n, t, z, ibk, q4l)
 
 
 try:  # register as a pytree so QTensors pass through jit/pjit boundaries

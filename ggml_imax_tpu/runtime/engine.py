@@ -54,7 +54,17 @@ class Engine:
 
     def __init__(self, model_module, cfg, params, *, compute_dtype=jnp.bfloat16,
                  kv_dtype=jnp.bfloat16, n_ctx: int | None = None, batch: int = 1,
-                 donate_cache: bool = True):
+                 donate_cache: bool = True, residency: str = "as-is"):
+        # residency: "as-is" | "q4-fused" (block-interleave nib4 weights for
+        # the fused Pallas decode kernel) | "bf16" (dequantize once on device)
+        if residency == "q4-fused":
+            from ..ops.pallas_qmm import params_repack_device
+            params = params_repack_device(params)
+        elif residency == "bf16":
+            from ..quant.device import params_to_dense_bf16
+            params = params_to_dense_bf16(params)
+        elif residency != "as-is":
+            raise ValueError(residency)
         self.model = model_module
         self.cfg = cfg
         self.params = params

@@ -152,3 +152,37 @@ def test_gptj_forward_invariant_under_repack(rng):
     got, _ = gptj.forward(cfg, params_repack_device(params), toks, pos,
                           cache2, 0, compute_dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+@pytest.mark.parametrize("t", ["Q4_0", "Q4_1", "Q4_K"])
+def test_rowpair_kernel_parity(rng, t):
+    """Row-pair int4-bitcast kernel vs exact f32 dequant matmul (interpret
+    emulation of the bitcast on CPU)."""
+    import jax.numpy as jnp
+    from ggml_imax_tpu.ops.pallas_qmm import (qmatmul_pallas,
+                                              repack_rowpair_device)
+    from ggml_imax_tpu.quant.device import (dequantize_qtensor,
+                                            quantize_for_device)
+    from ggml_imax_tpu.quant.formats import GGMLType
+    tt = getattr(GGMLType, t)
+    K, N = 1024, 256
+    w = (rng.standard_normal((K, N)) * 0.3).astype(np.float32)
+    qt = quantize_for_device(w, tt)
+    x = jnp.asarray(rng.standard_normal((3, K)).astype(np.float32))
+    exact = np.asarray(x) @ dequantize_qtensor(qt)
+    got = np.asarray(qmatmul_pallas(x, repack_rowpair_device(qt, bk=512),
+                                    interpret=True))
+    err = np.abs(got - exact).max() / (np.abs(exact).max() + 1e-9)
+    assert err < 6e-3, (t, err)   # bf16 weight product, f32 affine term
+
+
+def test_params_repack_prefers_rowpair(rng):
+    from ggml_imax_tpu.ops.pallas_qmm import params_repack_device
+    from ggml_imax_tpu.quant.device import quantize_for_device
+    from ggml_imax_tpu.quant.formats import GGMLType
+    w = (rng.standard_normal((1024, 32)) * 0.3).astype(np.float32)
+    p = {"a": quantize_for_device(w, GGMLType.Q4_0),      # per-32 -> rowpair
+         "b": quantize_for_device(w, GGMLType.Q2_K)}      # per-16 -> planes
+    r = params_repack_device(p)
+    assert r["a"].q4_layout == 1 and r["a"].interleaved_bk > 0
+    assert r["b"].q4_layout == 0 and r["b"].interleaved_bk > 0
