@@ -89,7 +89,9 @@ def main():
         # whole decode loop on device (lax.scan + on-device argmax): one
         # dispatch per n_meas tokens — isolates device throughput from the
         # tunnel's per-call dispatch latency
-        @jax.jit
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("n",))
         def decode_n(params, tok, cache, start, n):
             def body(carry, i):
                 tok, cache = carry
@@ -100,15 +102,15 @@ def main():
                 nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
                 return (nxt, cache), nxt[0, 0]
             (tok, cache), toks = jax.lax.scan(body, (tok, cache),
-                                              jnp.arange(n), length=n)
+                                              jnp.arange(n))
             return tok, cache, toks
 
         t0 = time.time()
-        tok, cache, _ = decode_n(params, tok, cache, 0, n_warm)
+        tok, cache, _ = decode_n(params, tok, cache, 0, n=n_warm)
         _ = int(tok[0, 0])
         print(f"# scan warmup (compile): {time.time()-t0:.1f}s", file=sys.stderr)
         t0 = time.perf_counter()
-        tok, cache, _ = decode_n(params, tok, cache, n_warm, n_meas)
+        tok, cache, _ = decode_n(params, tok, cache, n_warm, n=n_meas)
         _ = int(tok[0, 0])
         dt = time.perf_counter() - t0
         tok_s = n_meas * batch / dt
