@@ -85,6 +85,38 @@ def main():
     tok = jnp.ones((batch, 1), jnp.int32)
     n_warm, n_meas = 8, 64
 
+    if "--prefill" in sys.argv:
+        # prompt-processing throughput: T=448 through the Pallas flash
+        # attention + (large-m) XLA dequant-fused matmuls
+        T = 448
+        toks = jnp.ones((batch, T), jnp.int32)
+        pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None],
+                               (batch, T))
+
+        @jax.jit
+        def prefill(params, toks, pos, cache):
+            logits, cache = gptj.forward(cfg, params, toks, pos, cache, 0)
+            return logits[:, -1].argmax(-1).astype(jnp.int32), cache
+
+        t0 = time.time()
+        nxt, cache = prefill(params, toks, pos, cache)
+        _ = int(nxt[0])
+        print(f"# prefill warmup (compile): {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        reps = 8
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            nxt, cache = prefill(params, toks, pos, cache)
+        _ = int(nxt[0])
+        dt = (time.perf_counter() - t0) / reps
+        tps = T * batch / dt
+        print(f"# prefill {T} tokens in {dt*1e3:.1f} ms", file=sys.stderr)
+        print(json.dumps({
+            "metric": "GPT-J-6B Q4_0 prefill tokens/sec/chip",
+            "value": round(tps, 1), "unit": "tok/s",
+            "vs_baseline": round(tps / BASELINE_TOK_S, 2)}))
+        return
+
     if "--scan" in sys.argv:
         # whole decode loop on device (lax.scan + on-device argmax): one
         # dispatch per n_meas tokens — isolates device throughput from the

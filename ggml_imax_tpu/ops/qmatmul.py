@@ -106,13 +106,15 @@ def qmatmul(x: jax.Array, qt: QTensor, *, compute_dtype=jnp.bfloat16,
     if _activation_observer is not None:
         _activation_observer(qt, x)
     # fused-kernel fast path: block-interleaved weights (repack_interleaved /
-    # params_repack_device at load) + decode-sized m on a real TPU. Measured
-    # (v5e, K=4096 N=16384 GEMV): 0.173 ms vs 0.209 ms dense-bf16 vs 0.390 ms
-    # XLA-fused — the mmvq-for-small-batch dispatch of the reference
-    # (ggml-cuda.cu:1867-1960), with XLA dense for large m (MXU-efficient).
+    # params_repack_device at load) on a real TPU. Measured (v5e, K=4096
+    # N=16384 GEMV): 0.097 ms rowpair vs 0.209 ms dense-bf16 vs 0.390 ms
+    # XLA-fused — the mmvq/mmq dispatch of the reference
+    # (ggml-cuda.cu:1867-1960). The kernel also wins at prefill m (the XLA
+    # dequant-fusion re-unpacks weights per output tile; the kernel unpacks
+    # each tile once with all of m resident in VMEM), up to the VMEM cap.
     if (qt.kind == "nib4" and qt.interleaved_bk > 0
             and jax.devices()[0].platform == "tpu"
-            and _leading(x) <= 32 and qt.n % 128 == 0):
+            and _leading(x) <= 512 and qt.n % 128 == 0):
         from .pallas_qmm import qmatmul_pallas
         return qmatmul_pallas(x, qt).astype(out_dtype)
     w = dequantize_xla(qt, dtype=compute_dtype)

@@ -15,6 +15,7 @@ from pathlib import Path
 import numpy as np
 
 from ..io.gguf import GGUFReader, GGUFWriter
+from ..io.legacy_bin import read_legacy_bin, write_legacy_bin
 from ..quant import codecs
 from ..quant.formats import FORMATS, GGMLType
 from ..quant.imatrix import quantize_rows
@@ -76,4 +77,42 @@ def requantize_gguf(src: str | Path, dst: str | Path, ttype: GGMLType, *,
                 stats[name] = (info.ggml_type, info.ggml_type,
                                raw.nbytes, raw.nbytes)
         w.write()
+    return stats
+
+
+def requantize_legacy_bin(src: str | Path, dst: str | Path, ttype: GGMLType,
+                          hparam_names: list[str], *,
+                          include=DEFAULT_INCLUDE, has_vocab: bool = True,
+                          imatrix: dict | None = None) -> dict:
+    """Re-encode a legacy ggml .bin model (gpt-2/gpt-j/whisper style) —
+    the per-model quantize.cpp drivers' behavior (gpt-2/quantize.cpp:1-180
+    over ggml_common_quantize_0). The ftype hparam is updated."""
+    ttype = GGMLType(ttype)
+    f = read_legacy_bin(src, hparam_names, has_vocab=has_vocab)
+    stats = {}
+    out_tensors = {}
+    for name, tt in f.tensors.items():
+        quantize_it = (
+            len(tt.shape) == 2
+            and tt.ggml_type in QUANTIZABLE_SRC
+            and tt.ggml_type != ttype
+            and any(fnmatch.fnmatch(name, pat) for pat in include)
+            and tt.shape[0] % FORMATS[ttype].block_size == 0)
+        if quantize_it:
+            n_per_row = tt.shape[0]
+            rows = int(np.prod(tt.shape)) // n_per_row
+            x = codecs.dequantize(tt.data, tt.ggml_type,
+                                  shape=(rows, n_per_row))
+            enc = quantize_rows(x, ttype, imatrix=(imatrix or {}).get(name))
+            out_tensors[name] = (ttype, tt.shape, enc)
+            stats[name] = (tt.ggml_type, ttype, tt.data.nbytes, enc.nbytes)
+        else:
+            out_tensors[name] = (tt.ggml_type, tt.shape, tt.data)
+            stats[name] = (tt.ggml_type, tt.ggml_type,
+                           tt.data.nbytes, tt.data.nbytes)
+    hp = dict(f.hparams)
+    if "ftype" in hp:
+        # GGML_QNT_VERSION(2) * 1000 + new ftype (common-ggml.cpp writes this)
+        hp["ftype"] = 2000 + int(ttype)
+    write_legacy_bin(dst, hp, hparam_names, f.vocab, out_tensors)
     return stats

@@ -109,3 +109,24 @@ def test_perplexity_harness(rng):
     # near-random model on random tokens: ppl ~ vocab size
     assert 16 < res["ppl"] < 256, res
     assert res["n_tokens"] == 2 * (64 - 32)
+
+
+def test_requantize_legacy_bin(tmp_path, rng):
+    from ggml_imax_tpu.io.legacy_bin import read_legacy_bin, write_legacy_bin
+    from ggml_imax_tpu.tools.quantize import requantize_legacy_bin
+    names = ["n_vocab", "n_ctx", "ftype"]
+    x = rng.standard_normal((4, 64)).astype(np.float32)
+    b = rng.standard_normal(16).astype(np.float32)
+    src, dst = tmp_path / "m.bin", tmp_path / "m-q.bin"
+    write_legacy_bin(src, {"n_vocab": 2, "n_ctx": 8, "ftype": 0}, names,
+                     [b"a", b"b"],
+                     {"l0/w": (GGMLType.F32, (64, 4), x),
+                      "l0/b": (GGMLType.F32, (16,), b)})
+    requantize_legacy_bin(src, dst, GGMLType.Q5_0, names)
+    f = read_legacy_bin(dst, names)
+    assert f.tensors["l0/w"].ggml_type == GGMLType.Q5_0
+    assert f.tensors["l0/b"].ggml_type == GGMLType.F32
+    assert f.hparams["ftype"] == 2000 + int(GGMLType.Q5_0)
+    deq = codecs.dequantize(f.tensors["l0/w"].data, GGMLType.Q5_0,
+                            shape=(4, 64))
+    assert np.sqrt(np.mean((deq - x) ** 2)) < 0.08
