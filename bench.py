@@ -31,7 +31,7 @@ BASELINE_TOK_S = 8.0  # GPT-J-6B, reference README.md:101 (125 ms/token)
 
 def main():
     small = "--small" in sys.argv
-    resident = "q4" if "--resident=q4" in sys.argv else "bf16"
+    resident = "bf16" if "--resident=bf16" in sys.argv else "q4"
     batch = 1
     for a in sys.argv:
         if a.startswith("--batch="):

@@ -27,14 +27,17 @@ def attention_xla(q, k, v, mask=None, *, scale: float | None = None,
     scale = scale if scale is not None else 1.0 / math.sqrt(D)
 
     rep = Hq // Hkv
-    qf = q.astype(jnp.float32).transpose(0, 2, 1, 3)          # (B, Hq, Tq, D)
-    kf = k.astype(jnp.float32).transpose(0, 2, 1, 3)          # (B, Hkv, Tk, D)
-    vf = v.astype(jnp.float32).transpose(0, 2, 1, 3)
+    # operands stay in their input dtype (bf16 KV reads at full HBM rate on
+    # the decode path — no f32 copy of the cache); accumulation is f32
+    qf = q.transpose(0, 2, 1, 3)                              # (B, Hq, Tq, D)
+    kf = k.astype(q.dtype).transpose(0, 2, 1, 3)              # (B, Hkv, Tk, D)
+    vf = v.astype(q.dtype).transpose(0, 2, 1, 3)
     if rep > 1:
         kf = jnp.repeat(kf, rep, axis=1)
         vf = jnp.repeat(vf, rep, axis=1)
 
-    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf, precision=precision) * scale
+    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf, precision=precision,
+                   preferred_element_type=jnp.float32) * scale
     if logit_softcap > 0.0:
         s = logit_softcap * jnp.tanh(s / logit_softcap)
     if max_bias > 0.0:
@@ -48,7 +51,8 @@ def attention_xla(q, k, v, mask=None, *, scale: float | None = None,
     e = jnp.exp(s - mx)
     e = jnp.where(jnp.isneginf(s), 0.0, e)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
-    o = jnp.einsum("bhqk,bhkd->bhqd", p, vf, precision=precision)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(vf.dtype), vf,
+                   precision=precision, preferred_element_type=jnp.float32)
     return o.transpose(0, 2, 1, 3).astype(out_dtype)
 
 
