@@ -85,3 +85,22 @@ def test_moe_ffn_routing(rng):
             acc += w[s] * ((hg * hu) @ wd[eid])
         ref[i] = acc
     np.testing.assert_allclose(ref, got, rtol=1e-4, atol=1e-4)
+
+
+def test_mul_mat_id_expert_parallel_mesh(rng):
+    """EP (SURVEY §2.10): experts sharded across the mesh's 'ep' axis;
+    GSPMD inserts the gather/collectives, result matches unsharded."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    e, k, n, t, u = 8, 16, 8, 6, 2
+    as_ = rng.standard_normal((e, k, n)).astype(np.float32)
+    x = rng.standard_normal((t, k)).astype(np.float32)
+    ids = rng.integers(0, e, (t, u)).astype(np.int32)
+    ref = naive(as_, x, ids)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("ep",))
+    as_sharded = jax.device_put(jnp.asarray(as_),
+                                NamedSharding(mesh, P("ep", None, None)))
+    got = np.asarray(jax.jit(mul_mat_id)(as_sharded, jnp.asarray(x),
+                                         jnp.asarray(ids)))
+    np.testing.assert_allclose(ref, got, rtol=1e-5, atol=1e-5)
