@@ -22,9 +22,13 @@ _LIB = None
 _TRIED = False
 
 
+# -ffp-contract=off: FMA contraction would merge mul+add into one rounding
+# (e.g. inside nearest_int's bit trick operand) and break bit-exactness
+_FLAGS = "-O3 -march=native -ffp-contract=off -fopenmp -shared -fPIC -fvisibility=hidden"
+
+
 def _build(src: Path, out: Path) -> bool:
-    cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-           "-fvisibility=hidden", str(src), "-o", str(out)]
+    cmd = ["g++", *_FLAGS.split(), str(src), "-o", str(out)]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
     except (OSError, subprocess.TimeoutExpired):
@@ -49,7 +53,7 @@ def lib():
         if os.environ.get("GGML_IMAX_TPU_NATIVE", "1") == "0":
             return None
         src = _HERE / "codecs.cpp"
-        tag = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
+        tag = hashlib.sha256(src.read_bytes() + _FLAGS.encode()).hexdigest()[:16]
         so = _HERE / f"_codecs_{tag}.so"
         if not so.exists():
             tmp = so.with_suffix(".so.tmp")

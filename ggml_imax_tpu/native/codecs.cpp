@@ -515,3 +515,546 @@ API void f32_row_to_f16(const float* x, uint16_t* y, int64_t n) {
 }
 
 API int codecs_abi_version(void) { return 1; }
+
+// ---------------- K-quant quantizers ----------------
+// Scale-search semantics of ggml-quants.c (make_qx_quants:1104,
+// make_qkx2_quants:1275, make_q3_quants:1173) and the per-format row
+// quantizers; bit-exact with the numpy codecs (golden-tested vs reference).
+
+static const float GROUP_MAX_EPS = 1e-30f;
+
+static float make_qx_quants(int n, int nmax, const float* x, int8_t* L,
+                            const float* qw) {   // rmse_type == 1
+    float max = 0.0f, amax = 0.0f;
+    for (int i = 0; i < n; ++i) {
+        float ax = std::fabs(x[i]);
+        if (ax > amax) { amax = ax; max = x[i]; }
+    }
+    if (amax < GROUP_MAX_EPS) {
+        for (int i = 0; i < n; ++i) L[i] = 0;
+        return 0.0f;
+    }
+    float iscale = -nmax / max;
+    float sumlx = 0.0f, suml2 = 0.0f;
+    for (int i = 0; i < n; ++i) {
+        int l = nearest_int(iscale * x[i]);
+        l = l < -nmax ? -nmax : (l > nmax - 1 ? nmax - 1 : l);
+        L[i] = (int8_t)l;
+        float w = qw ? qw[i] : x[i] * x[i];
+        sumlx += w * x[i] * l;
+        suml2 += w * (float)l * l;
+    }
+    float scale = sumlx / suml2;
+    float best = scale * sumlx;
+    for (int is = -9; is <= 9; ++is) {
+        if (is == 0) continue;
+        float isc = -(nmax + 0.1f * is) / max;
+        float slx = 0.0f, sl2 = 0.0f;
+        for (int i = 0; i < n; ++i) {
+            int l = nearest_int(isc * x[i]);
+            l = l < -nmax ? -nmax : (l > nmax - 1 ? nmax - 1 : l);
+            float w = qw ? qw[i] : x[i] * x[i];
+            slx += w * x[i] * l;
+            sl2 += w * (float)l * l;
+        }
+        if (sl2 > 0 && slx * slx > best * sl2) {
+            for (int i = 0; i < n; ++i) {
+                int l = nearest_int(isc * x[i]);
+                L[i] = (int8_t)(l < -nmax ? -nmax : (l > nmax - 1 ? nmax - 1 : l));
+            }
+            scale = slx / sl2;
+            best = scale * slx;
+        }
+    }
+    for (int i = 0; i < n; ++i) L[i] = (int8_t)(L[i] + nmax);
+    return scale;
+}
+
+static float make_qkx2_quants(int n, int nmax, const float* x,
+                              const float* weights, uint8_t* L,
+                              float* the_min, uint8_t* Laux, float rmin,
+                              float rdelta, int nstep, bool use_mad) {
+    float min = x[0], max = x[0];
+    float sum_w = weights[0], sum_x = sum_w * x[0];
+    for (int i = 1; i < n; ++i) {
+        if (x[i] < min) min = x[i];
+        if (x[i] > max) max = x[i];
+        float w = weights[i];
+        sum_w += w;
+        sum_x += w * x[i];
+    }
+    if (min > 0) min = 0;
+    if (max == min) {
+        for (int i = 0; i < n; ++i) L[i] = 0;
+        *the_min = -min;
+        return 0.0f;
+    }
+    float iscale = nmax / (max - min);
+    float scale = 1.0f / iscale;
+    float best_mad = 0.0f;
+    for (int i = 0; i < n; ++i) {
+        int l = nearest_int(iscale * (x[i] - min));
+        L[i] = (uint8_t)(l < 0 ? 0 : (l > nmax ? nmax : l));
+        float diff = scale * L[i] + min - x[i];
+        diff = use_mad ? std::fabs(diff) : diff * diff;
+        best_mad += weights[i] * diff;
+    }
+    if (nstep < 1) { *the_min = -min; return scale; }
+    for (int is = 0; is <= nstep; ++is) {
+        iscale = (rmin + rdelta * is + nmax) / (max - min);
+        float sum_l = 0, sum_l2 = 0, sum_xl = 0;
+        for (int i = 0; i < n; ++i) {
+            int l = nearest_int(iscale * (x[i] - min));
+            l = l < 0 ? 0 : (l > nmax ? nmax : l);
+            Laux[i] = (uint8_t)l;
+            float w = weights[i];
+            sum_l += w * l;
+            sum_l2 += w * (float)l * l;
+            sum_xl += w * l * x[i];
+        }
+        float D = sum_w * sum_l2 - sum_l * sum_l;
+        if (D > 0) {
+            float this_scale = (sum_w * sum_xl - sum_x * sum_l) / D;
+            float this_min = (sum_l2 * sum_x - sum_l * sum_xl) / D;
+            if (this_min > 0) {
+                this_min = 0;
+                this_scale = sum_xl / sum_l2;
+            }
+            float mad = 0;
+            for (int i = 0; i < n; ++i) {
+                float diff = this_scale * Laux[i] + this_min - x[i];
+                diff = use_mad ? std::fabs(diff) : diff * diff;
+                mad += weights[i] * diff;
+            }
+            if (mad < best_mad) {
+                for (int i = 0; i < n; ++i) L[i] = Laux[i];
+                best_mad = mad;
+                scale = this_scale;
+                min = this_min;
+            }
+        }
+    }
+    *the_min = -min;
+    return scale;
+}
+
+static float make_q3_quants(int n, int nmax, const float* x, int8_t* L,
+                            bool do_rmse) {
+    float max = 0.0f, amax = 0.0f;
+    for (int i = 0; i < n; ++i) {
+        float ax = std::fabs(x[i]);
+        if (ax > amax) { amax = ax; max = x[i]; }
+    }
+    if (amax < GROUP_MAX_EPS) {
+        for (int i = 0; i < n; ++i) L[i] = 0;
+        return 0.0f;
+    }
+    float iscale = -nmax / max;
+    if (do_rmse) {
+        float sumlx = 0, suml2 = 0;
+        for (int i = 0; i < n; ++i) {
+            int l = nearest_int(iscale * x[i]);
+            l = l < -nmax ? -nmax : (l > nmax - 1 ? nmax - 1 : l);
+            L[i] = (int8_t)l;
+            float w = x[i] * x[i];
+            sumlx += w * x[i] * l;
+            suml2 += w * (float)l * l;
+        }
+        for (int itry = 0; itry < 5; ++itry) {
+            int n_changed = 0;
+            for (int i = 0; i < n; ++i) {
+                float w = x[i] * x[i];
+                float slx = sumlx - w * x[i] * L[i];
+                if (slx > 0) {
+                    float sl2 = suml2 - w * (float)L[i] * L[i];
+                    int new_l = nearest_int(x[i] * sl2 / slx);
+                    new_l = new_l < -nmax ? -nmax : (new_l > nmax - 1 ? nmax - 1 : new_l);
+                    if (new_l != L[i]) {
+                        slx += w * x[i] * new_l;
+                        sl2 += w * (float)new_l * new_l;
+                        if (sl2 > 0 && slx * slx * suml2 > sumlx * sumlx * sl2) {
+                            L[i] = (int8_t)new_l;
+                            sumlx = slx;
+                            suml2 = sl2;
+                            ++n_changed;
+                        }
+                    }
+                }
+            }
+            if (!n_changed) break;
+        }
+        for (int i = 0; i < n; ++i) L[i] = (int8_t)(L[i] + nmax);
+        return suml2 > 0 ? sumlx / suml2 : 0.0f;
+    }
+    for (int i = 0; i < n; ++i) {
+        int l = nearest_int(iscale * x[i]);
+        l = l < -nmax ? -nmax : (l > nmax - 1 ? nmax - 1 : l);
+        L[i] = (int8_t)(l + nmax);
+    }
+    return 1.0f / iscale;
+}
+
+static void pack_scale_min_k4(const uint8_t* ls, const uint8_t* lm,
+                              uint8_t* sc) {     // inverse of get_scale_min_k4
+    for (int j = 0; j < 12; ++j) sc[j] = 0;
+    for (int j = 0; j < 4; ++j) {
+        sc[j] = ls[j];
+        sc[j + 4] = lm[j];
+    }
+    for (int j = 4; j < 8; ++j) {
+        sc[j + 4] = (uint8_t)((ls[j] & 0xF) | ((lm[j] & 0xF) << 4));
+        sc[j - 4] |= (uint8_t)((ls[j] >> 4) << 6);
+        sc[j] |= (uint8_t)((lm[j] >> 4) << 6);
+    }
+}
+
+API void q2_K_quantize(const float* x, uint8_t* out, int64_t nb) {
+    const int bs = 84;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < nb; ++i) {
+        const float* xb = x + i * QK_K;
+        uint8_t* o = out + i * bs;
+        uint8_t* scales = o;
+        uint8_t* qs = o + 16;
+        uint8_t L[QK_K], Laux[16];
+        float weights[16], sc16[16], mn16[16];
+        for (int j = 0; j < 16; ++j) {
+            for (int l = 0; l < 16; ++l) weights[l] = std::fabs(xb[16 * j + l]);
+            sc16[j] = make_qkx2_quants(16, 3, xb + 16 * j, weights,
+                                       L + 16 * j, &mn16[j], Laux,
+                                       -0.5f, 0.1f, 15, true);
+        }
+        float max_scale = 0, max_min = 0;
+        for (int j = 0; j < 16; ++j) {
+            if (sc16[j] > max_scale) max_scale = sc16[j];
+            if (mn16[j] > max_min) max_min = mn16[j];
+        }
+        float d = 0, dmin = 0;
+        if (max_scale > 0) {
+            float isc = 15.0f / max_scale;
+            for (int j = 0; j < 16; ++j)
+                scales[j] = (uint8_t)nearest_int(isc * sc16[j]);
+            d = max_scale / 15.0f;
+        } else {
+            for (int j = 0; j < 16; ++j) scales[j] = 0;
+        }
+        if (max_min > 0) {
+            float iscm = 15.0f / max_min;
+            for (int j = 0; j < 16; ++j)
+                scales[j] |= (uint8_t)(nearest_int(iscm * mn16[j]) << 4);
+            dmin = max_min / 15.0f;
+        }
+        uint16_t dh = f32_to_f16(d), mh = f32_to_f16(dmin);
+        std::memcpy(o + 80, &dh, 2);
+        std::memcpy(o + 82, &mh, 2);
+        float d16 = f16_to_f32(dh), dmin16 = f16_to_f32(mh);
+        for (int j = 0; j < 16; ++j) {
+            float dl = d16 * (scales[j] & 0xF);
+            if (dl == 0.0f) continue;
+            float ml = dmin16 * (scales[j] >> 4);
+            for (int l = 0; l < 16; ++l) {
+                int nl = nearest_int((xb[16 * j + l] + ml) / dl);
+                L[16 * j + l] = (uint8_t)(nl < 0 ? 0 : (nl > 3 ? 3 : nl));
+            }
+        }
+        // pack 2-bit (inverse of the q2_K dequant loop)
+        for (int jj = 0; jj < QK_K; jj += 128) {
+            uint8_t* q = qs + jj / 4;
+            for (int l = 0; l < 32; ++l) {
+                q[l] = (uint8_t)(L[jj + l] | (L[jj + l + 32] << 2)
+                                 | (L[jj + l + 64] << 4) | (L[jj + l + 96] << 6));
+            }
+        }
+    }
+}
+
+API void q3_K_quantize(const float* x, uint8_t* out, int64_t nb) {
+    const int bs = 110;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < nb; ++i) {
+        const float* xb = x + i * QK_K;
+        uint8_t* o = out + i * bs;
+        uint8_t* hmask = o;
+        uint8_t* qs = o + 32;
+        uint8_t* scb = o + 96;
+        int8_t L8[QK_K];
+        float sc16[16];
+        for (int j = 0; j < 16; ++j)
+            sc16[j] = make_q3_quants(16, 4, xb + 16 * j, L8 + 16 * j, true);
+        // 6-bit quantize the scales against -32 super scale
+        float max_scale = 0, amax = 0;
+        for (int j = 0; j < 16; ++j) {
+            float ax = std::fabs(sc16[j]);
+            if (ax > amax) { amax = ax; max_scale = sc16[j]; }
+        }
+        float d = 0;
+        uint8_t l6[16];
+        for (int j = 0; j < 12; ++j) scb[j] = 0;
+        if (max_scale != 0) {
+            float iscale = -32.0f / max_scale;
+            for (int j = 0; j < 16; ++j) {
+                int l = nearest_int(iscale * sc16[j]);
+                l = (l < -32 ? -32 : (l > 31 ? 31 : l)) + 32;
+                l6[j] = (uint8_t)l;
+            }
+            d = 1.0f / iscale;
+        } else {
+            for (int j = 0; j < 16; ++j) l6[j] = 0;
+        }
+        // pack 16 6-bit scales into 12 bytes (q3_K layout)
+        for (int j = 0; j < 16; ++j) {
+            uint8_t lo = l6[j] & 0xF, hi = l6[j] >> 4;
+            if (j < 8) scb[j] |= lo;
+            else scb[j - 8] |= (uint8_t)(lo << 4);
+            scb[8 + (j % 4)] |= (uint8_t)(hi << (2 * (j / 4)));
+        }
+        uint16_t dh = f32_to_f16(d);
+        std::memcpy(o + 108, &dh, 2);
+        // re-quantize with stored 6-bit scales
+        float d16 = f16_to_f32(dh);
+        for (int j = 0; j < 16; ++j) {
+            int lo = j < 8 ? (scb[j] & 0xF) : (scb[j - 8] >> 4);
+            int hi = (scb[8 + (j % 4)] >> (2 * (j / 4))) & 3;
+            float dl = d16 * ((lo | (hi << 4)) - 32);
+            if (dl != 0.0f) {
+                for (int l = 0; l < 16; ++l) {
+                    int nl = nearest_int(xb[16 * j + l] / dl);
+                    nl = nl < -4 ? -4 : (nl > 3 ? 3 : nl);
+                    L8[16 * j + l] = (int8_t)(nl + 4);
+                }
+            }
+        }
+        // split into high-bit mask + 2-bit quants
+        for (int j = 0; j < 32; ++j) hmask[j] = 0;
+        uint8_t m = 1;
+        {
+            int bit_j = 0;
+            for (int jj = 0; jj < QK_K; jj += 128) {
+                for (int sh = 0; sh < 4; ++sh) {
+                    for (int l = 0; l < 32; ++l) {
+                        int idx = jj + sh * 32 + l;
+                        if (L8[idx] > 3) {
+                            hmask[l] |= m;
+                            L8[idx] = (int8_t)(L8[idx] - 4);
+                        }
+                    }
+                    m <<= 1;
+                }
+                (void)bit_j;
+            }
+        }
+        for (int jj = 0; jj < QK_K; jj += 128) {
+            uint8_t* q = qs + jj / 4;
+            for (int l = 0; l < 32; ++l) {
+                q[l] = (uint8_t)(L8[jj + l] | (L8[jj + l + 32] << 2)
+                                 | (L8[jj + l + 64] << 4) | (L8[jj + l + 96] << 6));
+            }
+        }
+    }
+}
+
+static void quantize_k45(const float* xb, int nmax, float rmin, int nstep,
+                         float* sc8, float* mn8, uint8_t* L) {
+    uint8_t Laux[32];
+    float weights[32];
+    for (int j = 0; j < 8; ++j) {
+        float sum_x2 = 0;
+        for (int l = 0; l < 32; ++l) {
+            float v = xb[32 * j + l];
+            sum_x2 += v * v;
+        }
+        float av_x = std::sqrt(sum_x2 / 32.0f);
+        for (int l = 0; l < 32; ++l)
+            weights[l] = av_x + std::fabs(xb[32 * j + l]);
+        sc8[j] = make_qkx2_quants(32, nmax, xb + 32 * j, weights, L + 32 * j,
+                                  &mn8[j], Laux, rmin, 0.1f, nstep, false);
+    }
+}
+
+static void store_k45_scales(const float* sc8, const float* mn8,
+                             uint8_t* packed, float* d, float* dmin) {
+    float max_scale = 0, max_min = 0;
+    for (int j = 0; j < 8; ++j) {
+        if (sc8[j] > max_scale) max_scale = sc8[j];
+        if (mn8[j] > max_min) max_min = mn8[j];
+    }
+    float inv_scale = max_scale > 0 ? 63.0f / max_scale : 0.0f;
+    float inv_min = max_min > 0 ? 63.0f / max_min : 0.0f;
+    uint8_t ls[8], lm[8];
+    for (int j = 0; j < 8; ++j) {
+        int a = nearest_int(inv_scale * sc8[j]);
+        int b = nearest_int(inv_min * mn8[j]);
+        ls[j] = (uint8_t)(a > 63 ? 63 : a);
+        lm[j] = (uint8_t)(b > 63 ? 63 : b);
+    }
+    pack_scale_min_k4(ls, lm, packed);
+    *d = max_scale / 63.0f;
+    *dmin = max_min / 63.0f;
+}
+
+API void q4_K_quantize(const float* x, uint8_t* out, int64_t nb) {
+    const int bs = 144;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < nb; ++i) {
+        const float* xb = x + i * QK_K;
+        uint8_t* o = out + i * bs;
+        uint8_t L[QK_K];
+        float sc8[8], mn8[8], d, dmin;
+        quantize_k45(xb, 15, -1.0f, 20, sc8, mn8, L);
+        store_k45_scales(sc8, mn8, o + 4, &d, &dmin);
+        uint16_t dh = f32_to_f16(d), mh = f32_to_f16(dmin);
+        std::memcpy(o, &dh, 2);
+        std::memcpy(o + 2, &mh, 2);
+        float d16 = f16_to_f32(dh), dmin16 = f16_to_f32(mh);
+        for (int j = 0; j < 8; ++j) {
+            uint8_t sd, sm;
+            get_scale_min_k4(j, o + 4, &sd, &sm);
+            float dl = d16 * sd;
+            if (dl == 0.0f) continue;
+            float ml = dmin16 * sm;
+            for (int l = 0; l < 32; ++l) {
+                int nl = nearest_int((xb[32 * j + l] + ml) / dl);
+                L[32 * j + l] = (uint8_t)(nl < 0 ? 0 : (nl > 15 ? 15 : nl));
+            }
+        }
+        uint8_t* q = o + 16;
+        for (int j = 0; j < QK_K; j += 64) {
+            for (int l = 0; l < 32; ++l)
+                q[l] = (uint8_t)(L[j + l] | (L[j + l + 32] << 4));
+            q += 32;
+        }
+    }
+}
+
+API void q5_K_quantize(const float* x, uint8_t* out, int64_t nb) {
+    const int bs = 176;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < nb; ++i) {
+        const float* xb = x + i * QK_K;
+        uint8_t* o = out + i * bs;
+        uint8_t L[QK_K];
+        float sc8[8], mn8[8], d, dmin;
+        quantize_k45(xb, 31, -0.5f, 15, sc8, mn8, L);
+        store_k45_scales(sc8, mn8, o + 4, &d, &dmin);
+        uint16_t dh = f32_to_f16(d), mh = f32_to_f16(dmin);
+        std::memcpy(o, &dh, 2);
+        std::memcpy(o + 2, &mh, 2);
+        float d16 = f16_to_f32(dh), dmin16 = f16_to_f32(mh);
+        for (int j = 0; j < 8; ++j) {
+            uint8_t sd, sm;
+            get_scale_min_k4(j, o + 4, &sd, &sm);
+            float dl = d16 * sd;
+            if (dl == 0.0f) continue;
+            float ml = dmin16 * sm;
+            for (int l = 0; l < 32; ++l) {
+                int nl = nearest_int((xb[32 * j + l] + ml) / dl);
+                L[32 * j + l] = (uint8_t)(nl < 0 ? 0 : (nl > 31 ? 31 : nl));
+            }
+        }
+        uint8_t* qh = o + 16;
+        uint8_t* ql = o + 48;
+        for (int j = 0; j < 32; ++j) qh[j] = 0;
+        uint8_t u1 = 1, u2 = 2;
+        for (int j = 0; j < QK_K; j += 64) {
+            for (int l = 0; l < 32; ++l) {
+                uint8_t a = L[j + l], b = L[j + l + 32];
+                ql[l] = (uint8_t)((a & 0xF) | ((b & 0xF) << 4));
+                if (a > 15) qh[l] |= u1;
+                if (b > 15) qh[l] |= u2;
+            }
+            ql += 32;
+            u1 <<= 2; u2 <<= 2;
+        }
+    }
+}
+
+API void q6_K_quantize(const float* x, uint8_t* out, int64_t nb) {
+    const int bs = 210;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < nb; ++i) {
+        const float* xb = x + i * QK_K;
+        uint8_t* o = out + i * bs;
+        uint8_t* ql = o;
+        uint8_t* qh = o + 128;
+        int8_t* scb = (int8_t*)(o + 192);
+        int8_t L8[QK_K];
+        float sc16[16];
+        for (int j = 0; j < 16; ++j)
+            sc16[j] = make_qx_quants(16, 32, xb + 16 * j, L8 + 16 * j, NULL);
+        float max_scale = 0, amax = 0;
+        for (int j = 0; j < 16; ++j) {
+            float ax = std::fabs(sc16[j]);
+            if (ax > amax) { amax = ax; max_scale = sc16[j]; }
+        }
+        if (amax == 0) {
+            std::memset(o, 0, bs);
+            continue;
+        }
+        float iscale = -128.0f / max_scale;
+        float d = 1.0f / iscale;
+        for (int j = 0; j < 16; ++j) {
+            int l = nearest_int(iscale * sc16[j]);
+            scb[j] = (int8_t)(l > 127 ? 127 : l);
+        }
+        uint16_t dh = f32_to_f16(d);
+        std::memcpy(o + 208, &dh, 2);
+        float d16 = f16_to_f32(dh);
+        for (int j = 0; j < 16; ++j) {
+            float dl = d16 * scb[j];
+            if (dl == 0.0f) continue;
+            for (int l = 0; l < 16; ++l) {
+                int nl = nearest_int(xb[16 * j + l] / dl);
+                nl = nl < -32 ? -32 : (nl > 31 ? 31 : nl);
+                L8[16 * j + l] = (int8_t)(nl + 32);
+            }
+        }
+        for (int jj = 0; jj < QK_K; jj += 128) {
+            uint8_t* pl = ql + jj / 2;
+            uint8_t* ph = qh + jj / 4;
+            for (int l = 0; l < 32; ++l) {
+                uint8_t q1 = (uint8_t)L8[jj + l];
+                uint8_t q2 = (uint8_t)L8[jj + l + 32];
+                uint8_t q3 = (uint8_t)L8[jj + l + 64];
+                uint8_t q4 = (uint8_t)L8[jj + l + 96];
+                pl[l]      = (uint8_t)((q1 & 0xF) | ((q3 & 0xF) << 4));
+                pl[l + 32] = (uint8_t)((q2 & 0xF) | ((q4 & 0xF) << 4));
+                ph[l] = (uint8_t)((q1 >> 4) | ((q2 >> 4) << 2)
+                                  | ((q3 >> 4) << 4) | ((q4 >> 4) << 6));
+            }
+        }
+    }
+}
+
+API void q8_K_quantize(const float* x, uint8_t* out, int64_t nb) {
+    const int bs = 292;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < nb; ++i) {
+        const float* xb = x + i * QK_K;
+        uint8_t* o = out + i * bs;
+        int8_t* q = (int8_t*)(o + 4);
+        int16_t* bsums = (int16_t*)(o + 4 + QK_K);
+        float max = 0, amax = 0;
+        for (int j = 0; j < QK_K; ++j) {
+            float ax = std::fabs(xb[j]);
+            if (ax > amax) { amax = ax; max = xb[j]; }
+        }
+        if (amax == 0) {
+            float z = 0;
+            std::memcpy(o, &z, 4);
+            std::memset(o + 4, 0, QK_K + 32);
+            continue;
+        }
+        float iscale = -127.0f / max;
+        for (int j = 0; j < QK_K; ++j) {
+            int v = nearest_int(iscale * xb[j]);
+            q[j] = (int8_t)(v > 127 ? 127 : v);
+        }
+        for (int j = 0; j < 16; ++j) {
+            int s = 0;
+            for (int l = 0; l < 16; ++l) s += q[16 * j + l];
+            bsums[j] = (int16_t)s;
+        }
+        float d = 1.0f / iscale;
+        std::memcpy(o, &d, 4);
+    }
+}

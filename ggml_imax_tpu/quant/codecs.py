@@ -645,9 +645,11 @@ def _qkx_scales_for_k45(xb: np.ndarray, nmax: int, rmin: float, nstep: int):
 
 
 def _k45_store_scales(scales, mins):
-    """6-bit quantize per-sub-block scales/mins against 63-level super scales."""
-    max_scale = scales.max(axis=1)
-    max_min = mins.max(axis=1)
+    """6-bit quantize per-sub-block scales/mins against 63-level super scales.
+    The +0.0 normalizes -0.0 maxima to +0.0 — the reference scans with
+    `if (v > max)` starting from 0.0f, which never adopts -0.0."""
+    max_scale = scales.max(axis=1) + f32(0.0)
+    max_min = mins.max(axis=1) + f32(0.0)
     with np.errstate(divide="ignore", invalid="ignore"):
         inv_scale = np.where(max_scale > 0, f32(63.0) / max_scale, f32(0.0)).astype(f32)
         inv_min = np.where(max_min > 0, f32(63.0) / max_min, f32(0.0)).astype(f32)
@@ -749,9 +751,12 @@ def quantize_q6_K(x: np.ndarray) -> np.ndarray:
     scales = scales.reshape(nb, 16)
     L = L.reshape(nb, QK_K)  # [0, 63]
 
-    amax_idx = np.argmax(np.abs(scales), axis=1)
-    max_scale = np.take_along_axis(scales, amax_idx[:, None], axis=1)[:, 0]
-    nonzero = np.abs(scales).max(axis=1) != 0
+    # reference scan (`if fabsf(scale) > max_abs_scale`) skips NaN scales
+    # (0/0 from underflowed sub-block sums); all-NaN -> zeroed block
+    scan = np.where(np.isnan(scales), f32(0.0), scales)
+    amax_idx = np.argmax(np.abs(scan), axis=1)
+    max_scale = np.take_along_axis(scan, amax_idx[:, None], axis=1)[:, 0]
+    nonzero = np.abs(scan).max(axis=1) != 0
     ms_safe = np.where(nonzero, max_scale, f32(1.0))
     iscale = f32(-128.0) / ms_safe
     d = np.where(nonzero, _safe_inv(iscale), f32(0.0)).astype(f32)
@@ -860,7 +865,10 @@ _DEQUANTIZERS = {
 # loops (bit-exact, differential-tested in tests/test_native_codecs.py)
 _NATIVE_QUANT = {GGMLType.Q4_0: "q4_0", GGMLType.Q4_1: "q4_1",
                  GGMLType.Q5_0: "q5_0", GGMLType.Q5_1: "q5_1",
-                 GGMLType.Q8_0: "q8_0", GGMLType.Q8_1: "q8_1"}
+                 GGMLType.Q8_0: "q8_0", GGMLType.Q8_1: "q8_1",
+                 GGMLType.Q2_K: "q2_K", GGMLType.Q3_K: "q3_K",
+                 GGMLType.Q4_K: "q4_K", GGMLType.Q5_K: "q5_K",
+                 GGMLType.Q6_K: "q6_K", GGMLType.Q8_K: "q8_K"}
 _NATIVE_DEQUANT = {**_NATIVE_QUANT,
                    GGMLType.Q2_K: "q2_K", GGMLType.Q3_K: "q3_K",
                    GGMLType.Q4_K: "q4_K", GGMLType.Q5_K: "q5_K",

@@ -15,16 +15,16 @@ pytestmark = pytest.mark.skipif(lib() is None,
                                 reason="no native toolchain available")
 
 QUANT_TYPES = [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
-               GGMLType.Q8_0, GGMLType.Q8_1]
-DEQ_TYPES = QUANT_TYPES + [GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K,
-                           GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_K]
+               GGMLType.Q8_0, GGMLType.Q8_1, GGMLType.Q2_K, GGMLType.Q3_K,
+               GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_K]
+DEQ_TYPES = QUANT_TYPES
 
 
 def interesting_data(rng, n):
     """Stress rounding edges: normals, tiny, huge, ties, zero blocks."""
     x = rng.standard_normal(n).astype(np.float32)
     x[: n // 8] = 0.0                                       # d == 0 path
-    x[n // 8: n // 4] *= 1e-24                              # fp16 subnormals
+    x[n // 8: n // 4] *= 1e-18   # tiny but finite squares (f32 denormal floor)
     x[n // 4: 3 * n // 8] *= 1e5                            # large scales
     x[3 * n // 8: n // 2] = np.round(x[3 * n // 8: n // 2] * 2) / 2  # .5 ties
     return x
