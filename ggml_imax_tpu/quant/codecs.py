@@ -1042,3 +1042,105 @@ def dequantize_iq4_nl(raw: np.ndarray) -> np.ndarray:
 
 _QUANTIZERS[GGMLType.IQ4_NL] = quantize_iq4_nl
 _DEQUANTIZERS[GGMLType.IQ4_NL] = dequantize_iq4_nl
+
+
+# ---------------------------------------------------------------------------
+# IQ4_XS: IQ4_NL's nonlinear grid in QK_K super-blocks with 6-bit sub-scales
+# (ggml-common.h:412-418; quantize via quantize_row_iq4_nl_impl with
+# super_block_size=QK_K, ntry=7 — ggml-quants.c:14177-14260, :14330+;
+# dequant ggml-quants.c:3341-3364)
+# ---------------------------------------------------------------------------
+
+BLOCK_DTYPES[GGMLType.IQ4_XS] = np.dtype(
+    [("d", "<f2"), ("scales_h", "<u2"), ("scales_l", "u1", (QK_K // 64,)),
+     ("qs", "u1", (QK_K // 2,))])
+assert BLOCK_DTYPES[GGMLType.IQ4_XS].itemsize == FORMATS[GGMLType.IQ4_XS].type_size
+
+
+def _iq4_block_scale(xb32, ntry=7):
+    """Per-32 scale search of quantize_row_iq4_nl_impl (vectorized across
+    blocks): xb32 (nb, 32) -> scales (nb,) f32 (0 for dead blocks)."""
+    vals = KVALUES_IQ4NL.astype(f32)
+    w = xb32 * xb32
+    mx = _signed_absmax(xb32)
+    amax = np.abs(mx)
+    dead = amax == 0
+    mx_safe = np.where(dead, f32(1.0), mx)
+
+    def score(idv):
+        L = _best_index_iq4nl(idv[:, None] * xb32)
+        q = vals[L]
+        return _seqsum(w * q * xb32), _seqsum(w * q * q)
+
+    d0 = (-mx_safe / vals[0]).astype(f32)
+    sumqx, sumq2 = score((f32(1.0) / d0).astype(f32))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        d = np.where(sumq2 > 0, sumqx / sumq2, f32(0.0)).astype(f32)
+    best = d * sumqx
+    for itry in range(-ntry, ntry + 1):
+        idv = ((f32(itry) + vals[0]) / mx_safe).astype(f32)
+        sqx, sq2 = score(idv)
+        better = (sq2 > 0) & (sqx * sqx > best * sq2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d = np.where(better, sqx / sq2, d).astype(f32)
+        best = np.where(better, d * sqx, best)
+    return np.where(dead, f32(0.0), d)
+
+
+def quantize_iq4_xs(x: np.ndarray) -> np.ndarray:
+    xb = _blocks_in(x, QK_K)
+    nb = len(xb)
+    scales = _iq4_block_scale(xb.reshape(nb * 8, 32)).reshape(nb, 8)
+
+    # 6-bit super-scale (ggml-quants.c:14231-14245)
+    amax_idx = np.argmax(np.abs(scales), axis=1)
+    max_scale = np.take_along_axis(scales, amax_idx[:, None], axis=1)[:, 0]
+    amax_scale = np.abs(max_scale)
+    d = (-max_scale / f32(32.0)).astype(f32)
+    idv = _safe_inv(d)
+    l6 = np.clip(_nearest_int(idv[:, None] * scales), -32, 31)
+
+    dh = _fp16(d)
+    # NB: the reference re-indexes with the f32 d (not the fp16-rounded one)
+    dl = d[:, None] * l6.astype(f32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        idl = np.where(dl != 0, f32(1.0) / dl, f32(0.0)).astype(f32)
+    L = _best_index_iq4nl(np.repeat(idl, 32, axis=1) * xb)  # (nb, 256)
+
+    l6s = (l6 + 32).astype(np.uint32)
+    lo = (l6s & 0xF).astype(np.uint8)
+    hi = (l6s >> 4).astype(np.uint32)
+    scales_l = (lo[:, 0::2] | (lo[:, 1::2] << 4)).astype(np.uint8)
+    ib = np.arange(8, dtype=np.uint32)
+    scales_h = (hi << (2 * ib)[None, :]).sum(axis=1, dtype=np.uint32).astype(np.uint16)
+
+    Lg = L.reshape(nb, 8, 2, 16)
+    qs = (Lg[:, :, 0] | (Lg[:, :, 1] << 4)).reshape(nb, QK_K // 2)
+
+    out = np.zeros(nb, dtype=BLOCK_DTYPES[GGMLType.IQ4_XS])
+    out["d"] = dh
+    out["scales_h"] = scales_h
+    out["scales_l"] = scales_l
+    out["qs"] = qs
+    return out.view(np.uint8)
+
+
+def dequantize_iq4_xs(raw: np.ndarray) -> np.ndarray:
+    b = _blocks_view(raw, GGMLType.IQ4_XS)
+    d = b["d"].astype(f32)[:, None]
+    vals = KVALUES_IQ4NL.astype(f32)
+    lo6 = np.concatenate([b["scales_l"] & 0xF, b["scales_l"] >> 4], axis=1)
+    # interleave even/odd back to block order
+    lo6 = lo6.reshape(-1, 2, 4).transpose(0, 2, 1).reshape(-1, 8)
+    ib = np.arange(8)
+    hi6 = ((b["scales_h"][:, None].astype(np.uint32) >> (2 * ib)[None, :]) & 3)
+    ls = (lo6.astype(np.int32) | (hi6.astype(np.int32) << 4)) - 32   # (nb, 8)
+    dl = d * ls.astype(f32)                                           # (nb, 8)
+    g = b["qs"].reshape(-1, 8, 16)
+    q = np.concatenate([vals[(g & 0xF).astype(np.int32)],
+                        vals[(g >> 4).astype(np.int32)]], axis=2)     # (nb,8,32)
+    return (dl[:, :, None] * q).reshape(-1)
+
+
+_QUANTIZERS[GGMLType.IQ4_XS] = quantize_iq4_xs
+_DEQUANTIZERS[GGMLType.IQ4_XS] = dequantize_iq4_xs

@@ -217,6 +217,21 @@ def to_device_format(raw: np.ndarray, t: GGMLType, shape_ne: tuple[int, ...]) ->
         scale = (b["d"].astype(f32)[..., None] * b["scales"].astype(f32)).reshape(n, -1)  # per-16
         return QTensor("int8", qdev, np.ascontiguousarray(scale.T), None, k, n, t)
 
+    if t == GGMLType.IQ4_XS:
+        d = b["d"].astype(f32)                        # (N, K/256)
+        lut = codecs.KVALUES_IQ4NL
+        lo6 = np.concatenate([b["scales_l"] & 0xF, b["scales_l"] >> 4], axis=2)
+        lo6 = lo6.reshape(n, -1, 2, 4).transpose(0, 1, 3, 2).reshape(n, -1, 8)
+        ib = np.arange(8)
+        hi6 = ((b["scales_h"][..., None].astype(np.uint32) >> (2 * ib)) & 3)
+        ls = (lo6.astype(np.int32) | (hi6.astype(np.int32) << 4)) - 32
+        scale = (d[..., None] * ls.astype(f32)).reshape(n, nb32)   # per-32
+        g = b["qs"].reshape(n, -1, 8, 16)
+        q = np.concatenate([lut[(g & 0xF).astype(np.int32)],
+                            lut[(g >> 4).astype(np.int32)]], axis=3)
+        qdev = np.ascontiguousarray(q.reshape(n, k).T)
+        return QTensor("int8", qdev, _per32(scale), None, k, n, t)
+
     if t == GGMLType.IQ4_NL:
         d = b["d"].astype(f32)                        # (N, K/32)
         lut = codecs.KVALUES_IQ4NL                    # nonlinear grid -> int8

@@ -135,3 +135,25 @@ def test_iq4_nl_dead_block_semantics(rng):
     np.testing.assert_array_equal(blk[1, 2:], blk[0, 2:])  # stale-L quirk
     y = codecs.dequantize(raw, GGMLType.IQ4_NL)
     np.testing.assert_array_equal(y[32:64], 0.0)
+
+
+def test_iq4_xs_roundtrip_and_device(rng):
+    """IQ4_XS (super-block IQ4_NL) — verified bit-exact vs the compiled
+    reference's quantize_iq4_xs/dequantize_row_iq4_xs during development;
+    here: layout, round-trip error contract, device decode consistency."""
+    from ggml_imax_tpu.quant import codecs
+    from ggml_imax_tpu.quant.device import dequantize_qtensor, quantize_for_device
+    from ggml_imax_tpu.quant.formats import FORMATS, GGMLType
+    x = (rng.standard_normal(2048) * 0.7).astype(np.float32)
+    x[256:288] = 0.0
+    raw = codecs.quantize(x, GGMLType.IQ4_XS)
+    assert raw.nbytes == 2048 // 256 * FORMATS[GGMLType.IQ4_XS].type_size
+    y = codecs.dequantize(raw, GGMLType.IQ4_XS)
+    assert np.sqrt(np.mean((x - y) ** 2)) < 0.08
+    np.testing.assert_array_equal(y[256:288], 0.0)
+    w = x.reshape(8, 256).T                   # (K=256, N=8) device layout
+    qt = quantize_for_device(w, GGMLType.IQ4_XS)
+    ref = codecs.dequantize(codecs.quantize(np.ascontiguousarray(w.T),
+                                            GGMLType.IQ4_XS),
+                            GGMLType.IQ4_XS, shape=(8, 256)).T
+    np.testing.assert_allclose(dequantize_qtensor(qt), ref, rtol=1e-6)
