@@ -57,6 +57,7 @@ def main():
         # path too; padded logits get -1e30 bias so argmax never picks them.
         from dataclasses import replace as _rp
         from ggml_imax_tpu.ops.pallas_qmm import params_repack_device
+        params = gptj.fuse_qkv(params)     # 1 GEMV for q/k/v per layer
         h = params["lmh_w"]
         vpad = (-h.n) % 128
         if vpad and h.kind == "nib4":

@@ -210,6 +210,21 @@ def from_hf_state_dict(cfg: GPTJConfig, sd: dict, wtype: GGMLType = GGMLType.F32
     return params
 
 
+def fuse_qkv(params):
+    """Concatenate each layer's q/k/v projections into one (E, 3E) QTensor —
+    the decode path then runs one fused GEMV per layer for attention inputs.
+    Call BEFORE params_repack_device."""
+    from ..quant.device import concat_qtensors
+    out = dict(params)
+    out["layers"] = []
+    for lp in params["layers"]:
+        lp = dict(lp)
+        lp["qkv_w"] = concat_qtensors([lp.pop("q_w"), lp.pop("k_w"),
+                                       lp.pop("v_w")])
+        out["layers"].append(lp)
+    return out
+
+
 def init_cache(cfg: GPTJConfig, batch: int = 1, n_ctx: int | None = None,
                dtype=jnp.bfloat16) -> KVCache:
     return init_kv_cache(cfg.n_layer, batch, n_ctx or cfg.n_ctx,
@@ -233,9 +248,14 @@ def forward(cfg: GPTJConfig, params, tokens, positions, cache: KVCache, n_past,
 
     for li, lp in enumerate(params["layers"]):
         cur = layer_norm(x, lp["ln_1_g"], lp["ln_1_b"])
-        q = mm(cur, lp["q_w"]).reshape(B, T, H, D)
-        kk = mm(cur, lp["k_w"]).reshape(B, T, H, D)
-        vv = mm(cur, lp["v_w"]).reshape(B, T, H, D)
+        if "qkv_w" in lp:
+            # fused QKV (fuse_qkv): one GEMV instead of three
+            qkv = mm(cur, lp["qkv_w"]).reshape(B, T, 3, H, D)
+            q, kk, vv = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        else:
+            q = mm(cur, lp["q_w"]).reshape(B, T, H, D)
+            kk = mm(cur, lp["k_w"]).reshape(B, T, H, D)
+            vv = mm(cur, lp["v_w"]).reshape(B, T, H, D)
         q = rope(q, positions, n_dims=cfg.n_rot, mode=0)
         kk = rope(kk, positions, n_dims=cfg.n_rot, mode=0)
 

@@ -221,9 +221,12 @@ def _kernel_rowpair(has_bias, interpret, *refs):
     w = w * pltpu.repeat(s_ref[:].astype(jnp.bfloat16), 32, axis=0)
     acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
     if has_bias:
-        # exact affine term in f32: sum_b bias[b,n] * (sum_{k in b} x_k)
-        acc_ref[:] += jnp.dot(xs_ref[:], b_ref[:],
-                              preferred_element_type=jnp.float32)
+        # exact affine term in f32: sum_b bias[b,n] * (sum_{k in b} x_k).
+        # xs arrives transposed (nb, m) — Mosaic requires the lane dim of a
+        # block to be 128-divisible or the full array dim, and nb=16 is not.
+        acc_ref[:] += jax.lax.dot_general(
+            xs_ref[:], b_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(kk == pl.num_programs(1) - 1)
     def _():
@@ -325,11 +328,11 @@ def _qmatmul_rowpair(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
     ]
     if has_bias:
         # per-quant-block activation sums (natural block order) for the
-        # exact f32 affine term
-        xs = x2.astype(jnp.float32).reshape(m, k // 32, 32).sum(axis=-1)
+        # exact f32 affine term, transposed to (k/32, m) for lane legality
+        xs = x2.astype(jnp.float32).reshape(m, k // 32, 32).sum(axis=-1).T
         args += [xs, jnp.asarray(qt.bias)]
         in_specs += [
-            pl.BlockSpec((m, nb), lambda nn, kk: (0, kk),
+            pl.BlockSpec((nb, m), lambda nn, kk: (kk, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, bn), lambda nn, kk: (kk, nn),
                          memory_space=pltpu.VMEM),

@@ -308,3 +308,23 @@ def dequantize_qtensor(qt: QTensor) -> np.ndarray:
     if bias is not None:
         w = w + bias[:, None, :]
     return w.reshape(qt.k, qt.n)
+
+
+def concat_qtensors(qts: list, axis_n: bool = True) -> QTensor:
+    """Concatenate QTensors along the output (N) dimension — used to fuse
+    Q/K/V projections into one GEMV (fewer kernel launches, better N tiling).
+    All inputs must share kind/K/type/zero/layout."""
+    import jax.numpy as jnp
+    a = qts[0]
+    assert axis_n
+    for b in qts[1:]:
+        assert (b.kind, b.k, b.ggml_type, b.zero, b.interleaved_bk,
+                b.q4_layout) == (a.kind, a.k, a.ggml_type, a.zero,
+                                 a.interleaved_bk, a.q4_layout)
+    cat = (jnp.concatenate if any(hasattr(t.q, "devices") for t in qts)
+           else np.concatenate)
+    q = cat([t.q for t in qts], axis=1)
+    scale = None if a.scale is None else cat([t.scale for t in qts], axis=1)
+    bias = None if a.bias is None else cat([t.bias for t in qts], axis=1)
+    return QTensor(a.kind, q, scale, bias, a.k, sum(t.n for t in qts),
+                   a.ggml_type, a.zero, a.interleaved_bk, a.q4_layout)
