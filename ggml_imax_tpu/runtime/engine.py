@@ -59,6 +59,8 @@ class Engine:
         # the fused Pallas decode kernel) | "bf16" (dequantize once on device)
         if residency == "q4-fused":
             from ..ops.pallas_qmm import params_repack_device
+            if hasattr(model_module, "fuse_qkv"):
+                params = model_module.fuse_qkv(params)
             params = params_repack_device(params)
         elif residency == "bf16":
             from ..quant.device import params_to_dense_bf16

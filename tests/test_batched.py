@@ -81,3 +81,24 @@ def test_batched_cells_recycled_and_seq_reuse(tiny):
     # all requests finished -> every cell freed
     assert int((be.cell_pos >= 0).sum()) == 0
     assert len(be.requests) == 3
+
+
+def test_engine_residency_q4_fused_with_model_fusion(rng):
+    """Engine(residency='q4-fused') applies model-specific fusion (gptj
+    fuse_qkv) + repack and still generates identically to as-is weights
+    on the CPU fallback paths."""
+    import jax.numpy as jnp
+    from ggml_imax_tpu.models import gptj
+    from ggml_imax_tpu.quant.formats import GGMLType
+    cfg = gptj.GPTJConfig(n_vocab=64, n_ctx=64, n_embd=512, n_head=2,
+                          n_layer=1, n_rot=32)
+    params = gptj.synthetic_params(cfg, GGMLType.Q4_0, seed=9)
+    ref = Engine(gptj, cfg, params, compute_dtype=jnp.float32,
+                 kv_dtype=jnp.float32).generate([3, 5, 7], 5, temp=0.0)
+    got = Engine(gptj, cfg, params, compute_dtype=jnp.float32,
+                 kv_dtype=jnp.float32,
+                 residency="q4-fused").generate([3, 5, 7], 5, temp=0.0)
+    # fused QKV changes XLA reduction grouping -> tiny float noise; greedy
+    # paths may only diverge if logits are near-ties, which synthetic
+    # weights make vanishingly unlikely over 5 steps
+    assert got == ref, (got, ref)
