@@ -361,9 +361,12 @@ def init_cache(cfg: WhisperConfig, batch: int = 1, n_ctx: int | None = None,
 
 
 def decode(cfg: WhisperConfig, params, tokens, positions, cache: KVCache,
-           cross_kv, n_past, *, compute_dtype=jnp.bfloat16, precision=None):
+           cross_kv, n_past, *, compute_dtype=jnp.bfloat16, precision=None,
+           return_cross_attn: bool = False):
     """whisper_build_graph_decoder: tokens (B, T) -> (logits (B,T,V), cache).
-    cross_kv from precompute_cross_kv."""
+    cross_kv from precompute_cross_kv. With return_cross_attn, also returns
+    cross-attention probabilities (n_text_layer, B, H, T, T_audio) — the
+    alignment signal for DTW token timestamps (whisper.cpp:355-378)."""
     H = cfg.n_text_head
     E = cfg.n_text_state
     D = E // H
@@ -375,6 +378,7 @@ def decode(cfg: WhisperConfig, params, tokens, positions, cache: KVCache,
     x = get_rows(params["d_te"], tokens, dtype=jnp.float32)
     x = x + params["d_pe"][positions]
     mask = attention_mask(positions, cache.n_ctx, n_past)
+    cross_probs = []
 
     for li, lp in enumerate(params["dec_layers"]):
         cur = layer_norm(x, lp["ln0_g"], lp["ln0_b"])
@@ -390,6 +394,11 @@ def decode(cfg: WhisperConfig, params, tokens, positions, cache: KVCache,
         q = (mm(cur, lp["xq_w"]) + lp["xq_b"]).reshape(B, T, H, D)
         a = attention(q, xk[li], xv[li], None, out_dtype=jnp.float32,
                       precision=precision)
+        if return_cross_attn:
+            import math as _math
+            s_ = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                            xk[li].astype(jnp.float32)) / _math.sqrt(D)
+            cross_probs.append(jax.nn.softmax(s_, axis=-1))
         x = x + mm(a.reshape(B, T, E), lp["xo_w"]) + lp["xo_b"]
 
         cur = layer_norm(x, lp["ln1_g"], lp["ln1_b"])
@@ -398,4 +407,6 @@ def decode(cfg: WhisperConfig, params, tokens, positions, cache: KVCache,
 
     x = layer_norm(x, params["d_ln_g"], params["d_ln_b"])
     logits = _mm(x, params["d_te"], compute_dtype, precision)  # tied head
+    if return_cross_attn:
+        return logits, cache, jnp.stack(cross_probs)
     return logits, cache

@@ -253,3 +253,78 @@ def _token_entropy(tokens) -> float:
     _, counts = np.unique(np.asarray(tokens), return_counts=True)
     p = counts / counts.sum()
     return float(-(p * np.log(p)).sum())
+
+
+# ---- DTW token timestamps (whisper.cpp:355-378 / whisper_exp_compute_token
+# _level_timestamps_dtw) ----
+
+def _median_filter(w: np.ndarray, width: int = 7) -> np.ndarray:
+    """Median filter along the last (audio) axis, edge-padded — the
+    smoothing whisper applies to alignment attention before DTW."""
+    pad = width // 2
+    wp = np.pad(w, [(0, 0)] * (w.ndim - 1) + [(pad, pad)], mode="edge")
+    stack = np.stack([wp[..., i:i + w.shape[-1]] for i in range(width)], -1)
+    return np.median(stack, axis=-1)
+
+
+def _dtw_path(cost: np.ndarray) -> np.ndarray:
+    """Monotonic DTW over cost (T_text, T_audio); returns for each text row
+    the matched audio column (backtraced path, first visit per row)."""
+    n, m = cost.shape
+    D = np.full((n + 1, m + 1), np.inf, np.float64)
+    D[0, 0] = 0.0
+    for i in range(1, n + 1):
+        row_prev = D[i - 1]
+        row = D[i]
+        for j in range(1, m + 1):
+            row[j] = cost[i - 1, j - 1] + min(row_prev[j - 1], row_prev[j],
+                                              row[j - 1])
+    # backtrace
+    i, j = n, m
+    match = np.zeros(n, np.int64)
+    while i > 0:
+        match[i - 1] = j - 1
+        moves = (D[i - 1, j - 1], D[i - 1, j], D[i, j - 1])
+        a = int(np.argmin(moves))
+        if a == 0:
+            i, j = i - 1, j - 1
+        elif a == 1:
+            i = i - 1
+        else:
+            j = j - 1
+            if j == 0:
+                j = 1
+    return match
+
+
+def token_timestamps(pipe: "WhisperPipeline", cross, tokens: list, *,
+                     alignment_heads=None, t_offset: float = 0.0):
+    """DTW token-level timestamps for one decoded segment.
+
+    cross: cross-KV of the segment's audio window; tokens: the full token
+    sequence (prompt + text). Runs ONE teacher-forced decode pass with
+    return_cross_attn, selects alignment heads (default: all heads of the
+    top half of the text layers, whisper.cpp's preset-less fallback),
+    median-filters, normalizes, and DTW-aligns. Returns seconds per token
+    (len == len(tokens)); each audio column is 20 ms (2 mel frames)."""
+    from ..models import whisper as W
+    import jax.numpy as jnp
+
+    cfg = pipe.cfg
+    cache = W.init_cache(cfg, batch=1, dtype=pipe.compute_dtype)
+    toks = jnp.asarray(np.asarray(tokens, np.int32)[None])
+    pos = jnp.asarray(np.arange(len(tokens), dtype=np.int32)[None])
+    _, _, probs = W.decode(cfg, pipe.params, toks, pos, cache, cross, 0,
+                           compute_dtype=pipe.compute_dtype,
+                           return_cross_attn=True)
+    probs = np.asarray(probs)                 # (L, 1, H, T, T_audio)
+    L, _, H, T, TA = probs.shape
+    if alignment_heads is None:
+        alignment_heads = [(l, h) for l in range(L // 2, L) for h in range(H)]
+    w = np.stack([probs[l, 0, h] for l, h in alignment_heads])  # (A, T, TA)
+    w = _median_filter(w)
+    std = w.std(axis=-1, keepdims=True)
+    w = (w - w.mean(axis=-1, keepdims=True)) / np.where(std > 0, std, 1.0)
+    cost = -w.mean(axis=0)                    # (T, TA)
+    match = _dtw_path(cost)
+    return t_offset + match.astype(np.float64) * 0.02

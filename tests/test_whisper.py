@@ -135,3 +135,37 @@ def test_whisper_pipeline_transcribe_smoke():
     assert len(segs[0].tokens) <= 6
     assert segs[0].temperature == 0.0         # QC passes at first temp
     assert isinstance(segs[0].text, str)
+
+
+def test_dtw_token_timestamps():
+    """DTW token-level timestamps (whisper.cpp:355-378 analog): monotonic,
+    bounded by the audio window, one per token."""
+    from ggml_imax_tpu.runtime.whisper_pipeline import (WhisperPipeline,
+                                                        token_timestamps)
+    _, _, cfg, params = tiny_pair(seed=6)
+    pipe = WhisperPipeline(cfg, params, None, None, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((1, 16, 64)).astype(np.float32))
+    enc = W.encode(cfg, params, mel, compute_dtype=jnp.float32)
+    cross = W.precompute_cross_kv(cfg, params, enc, compute_dtype=jnp.float32)
+    toks = [3, 5, 7, 9, 11, 13]
+    ts = token_timestamps(pipe, cross, toks, t_offset=1.0)
+    assert len(ts) == len(toks)
+    assert np.all(np.diff(ts) >= 0)                  # monotonic
+    assert ts[0] >= 1.0 and ts[-1] <= 1.0 + cfg.n_audio_ctx * 0.02
+    # explicit alignment heads path
+    ts2 = token_timestamps(pipe, cross, toks, alignment_heads=[(1, 0), (1, 1)])
+    assert len(ts2) == len(toks) and np.all(np.diff(ts2) >= 0)
+
+
+def test_dtw_path_shape():
+    from ggml_imax_tpu.runtime.whisper_pipeline import _dtw_path
+    # diagonal-dominant cost -> near-diagonal path
+    n, m = 6, 12
+    cost = np.ones((n, m))
+    for i in range(n):
+        cost[i, 2 * i] = 0.0
+    match = _dtw_path(cost)                # first-visit column per row
+    assert match.shape == (n,)
+    assert np.all(np.diff(match) >= 0) and match[0] == 0
+    np.testing.assert_array_equal(match, 2 * np.arange(n))  # follows diagonal

@@ -21,24 +21,30 @@ jax.config.update("jax_compilation_cache_dir",
 
 
 def timeit(fn, arg, reps):
-    """Chain-time `reps` dependent applications, one value fetch (the axon
-    tunnel's block_until_ready does not wait; see bench.py)."""
-    @jax.jit
-    def chain(v):
-        y = v
-        for _ in range(reps):
-            y = fn(y)
-        return jax.tree.leaves(y)[0].sum()
+    """Two-length differential timing: run chains of reps and 4*reps
+    dependent applications and divide the difference — cancels the tunnel's
+    fetch/dispatch overhead exactly (block_until_ready does not wait on
+    axon; see bench.py)."""
+    def chain(r):
+        @jax.jit
+        def f(v):
+            y = v
+            for _ in range(r):
+                y = fn(y)
+            return jax.tree.leaves(y)[0].sum()
+        return f
 
-    v = chain(arg)
-    _ = float(v)                     # compile + drain
+    f1, f4 = chain(reps), chain(4 * reps)
+    _ = float(f1(arg)); _ = float(f4(arg))     # compile
+    t1 = min(_run(f1, arg) for _ in range(3))
+    t4 = min(_run(f4, arg) for _ in range(3))
+    return max(1e-9, (t4 - t1) / (3 * reps))
+
+
+def _run(f, arg):
     t0 = time.perf_counter()
-    _ = float(chain(arg))
-    t1 = time.perf_counter()
-    fetch0 = time.perf_counter()
-    _ = float(v + 0)
-    fetch = time.perf_counter() - fetch0
-    return max(1e-9, (t1 - t0 - fetch) / reps)
+    _ = float(f(arg))
+    return time.perf_counter() - t0
 
 
 def cases(rng):
