@@ -1144,3 +1144,92 @@ def dequantize_iq4_xs(raw: np.ndarray) -> np.ndarray:
 
 _QUANTIZERS[GGMLType.IQ4_XS] = quantize_iq4_xs
 _DEQUANTIZERS[GGMLType.IQ4_XS] = dequantize_iq4_xs
+
+
+# ---------------------------------------------------------------------------
+# IQ2_XXS / IQ2_XS / IQ3_XXS — codebook ("grid") formats, DECODE ONLY.
+# Grids shipped as package data (iq_grids.npz, the formats' normative
+# constants from ggml-common.h); sign table ksigns is computed (7 sign bits
+# + odd-parity bit). Quantizers require a k-means-style grid search with an
+# importance matrix (ggml_quantize_requires_imatrix) — not implemented.
+# Reference dequant loops: ggml-quants.c:3066-3130 (iq2), :3169-3199 (iq3).
+# ---------------------------------------------------------------------------
+
+BLOCK_DTYPES[GGMLType.IQ2_XXS] = np.dtype([("d", "<f2"), ("qs", "<u2", (QK_K // 8,))])
+BLOCK_DTYPES[GGMLType.IQ2_XS] = np.dtype(
+    [("d", "<f2"), ("qs", "<u2", (QK_K // 8,)), ("scales", "u1", (QK_K // 32,))])
+BLOCK_DTYPES[GGMLType.IQ3_XXS] = np.dtype([("d", "<f2"), ("qs", "u1", (3 * QK_K // 8,))])
+for _t in (GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ3_XXS):
+    assert BLOCK_DTYPES[_t].itemsize == FORMATS[_t].type_size, _t
+
+
+def _iq_grids():
+    import pathlib
+    z = np.load(pathlib.Path(__file__).parent / "iq_grids.npz")
+    return z["iq2xxs_grid"], z["iq2xs_grid"], z["iq3xxs_grid"]
+
+
+def _ksigns() -> np.ndarray:
+    """ksigns_iq2xs: 7 sign bits + odd-parity high bit, expanded to the
+    per-element sign table (128, 8) of +-1."""
+    i = np.arange(128, dtype=np.uint8)
+    par = i.copy()
+    par ^= par >> 4
+    par ^= par >> 2
+    par ^= par >> 1
+    ks = i | ((par & 1) << 7).astype(np.uint8)   # bit7 = odd popcount
+    bits = (ks[:, None] >> np.arange(8)) & 1
+    return np.where(bits == 1, f32(-1.0), f32(1.0))
+
+
+_KSIGNS8 = _ksigns()
+
+
+def dequantize_iq2_xxs(raw: np.ndarray) -> np.ndarray:
+    g2xxs, _, _ = _iq_grids()
+    grid = g2xxs.view(np.uint8).reshape(256, 8).astype(f32)
+    b = _blocks_view(raw, GGMLType.IQ2_XXS)
+    d = b["d"].astype(f32)
+    q = b["qs"].reshape(-1, 8, 4)                    # (nb, ib32, 4 u16)
+    aux0 = q[:, :, :2].copy().view(np.uint32)[..., 0]          # grid bytes
+    aux1 = q[:, :, 2:].copy().view(np.uint32)[..., 0]          # signs+scale
+    db = d[:, None] * (f32(0.5) + (aux1 >> 28).astype(f32)) * f32(0.25)
+    idx = np.stack([(aux0 >> (8 * l)) & 0xFF for l in range(4)], axis=-1)
+    sidx = np.stack([(aux1 >> (7 * l)) & 127 for l in range(4)], axis=-1)
+    vals = grid[idx] * _KSIGNS8[sidx]                # (nb, 8, 4, 8)
+    return (db[:, :, None, None] * vals).reshape(-1)
+
+
+def dequantize_iq2_xs(raw: np.ndarray) -> np.ndarray:
+    _, g2xs, _ = _iq_grids()
+    grid = g2xs.view(np.uint8).reshape(512, 8).astype(f32)
+    b = _blocks_view(raw, GGMLType.IQ2_XS)
+    d = b["d"].astype(f32)
+    q = b["qs"].reshape(-1, 8, 4).astype(np.uint32)  # (nb, ib32, l)
+    sc = b["scales"]                                 # (nb, 8)
+    db0 = d[:, None] * (f32(0.5) + (sc & 0xF).astype(f32)) * f32(0.25)
+    db1 = d[:, None] * (f32(0.5) + (sc >> 4).astype(f32)) * f32(0.25)
+    db = np.stack([db0, db0, db1, db1], axis=-1)     # (nb, 8, 4): l//2 pick
+    vals = grid[q & 511] * _KSIGNS8[q >> 9]          # (nb, 8, 4, 8)
+    return (db[:, :, :, None] * vals).reshape(-1)
+
+
+def dequantize_iq3_xxs(raw: np.ndarray) -> np.ndarray:
+    _, _, g3 = _iq_grids()
+    grid = g3.view(np.uint8).reshape(256, 4).astype(f32)
+    b = _blocks_view(raw, GGMLType.IQ3_XXS)
+    d = b["d"].astype(f32)
+    qs = b["qs"][:, : QK_K // 4].reshape(-1, 8, 8)   # grid bytes (nb, ib32, 8)
+    aux = b["qs"][:, QK_K // 4:].copy().view("<u4").reshape(-1, 8)
+    db = d[:, None] * (f32(0.5) + (aux >> 28).astype(f32)) * f32(0.5)
+    sidx = np.stack([(aux >> (7 * l)) & 127 for l in range(4)], axis=-1)
+    signs = _KSIGNS8[sidx]                           # (nb, 8, 4, 8)
+    g1 = grid[qs[:, :, 0::2]]                        # (nb, 8, 4, 4)
+    g2 = grid[qs[:, :, 1::2]]
+    vals = np.concatenate([g1, g2], axis=-1)         # order j:0..3 then 4..7
+    return (db[:, :, None, None] * vals * signs).reshape(-1)
+
+
+_DEQUANTIZERS[GGMLType.IQ2_XXS] = dequantize_iq2_xxs
+_DEQUANTIZERS[GGMLType.IQ2_XS] = dequantize_iq2_xs
+_DEQUANTIZERS[GGMLType.IQ3_XXS] = dequantize_iq3_xxs

@@ -90,6 +90,9 @@ FORMATS: dict[GGMLType, FormatInfo] = {
     GGMLType.Q5_K: FormatInfo("q5_K", QK_K, 4 + K_SCALE_SIZE + QK_K // 8 + QK_K // 2, True),
     GGMLType.Q6_K: FormatInfo("q6_K", QK_K, QK_K // 2 + QK_K // 4 + QK_K // 16 + 2, True),
     GGMLType.Q8_K: FormatInfo("q8_K", QK_K, 4 + QK_K + QK_K // 16 * 2, True),
+    GGMLType.IQ2_XXS: FormatInfo("iq2_xxs", QK_K, 2 + QK_K // 8 * 2, True),
+    GGMLType.IQ2_XS: FormatInfo("iq2_xs", QK_K, 2 + QK_K // 8 * 2 + QK_K // 32, True),
+    GGMLType.IQ3_XXS: FormatInfo("iq3_xxs", QK_K, 2 + QK_K // 4 + QK_K // 8, True),
     GGMLType.IQ4_NL: FormatInfo("iq4_nl", QK, 2 + QK // 2, True),
     GGMLType.IQ4_XS: FormatInfo("iq4_xs", QK_K, 2 + 2 + QK_K // 64 + QK_K // 2, True),
 }

@@ -157,3 +157,20 @@ def test_iq4_xs_roundtrip_and_device(rng):
                                             GGMLType.IQ4_XS),
                             GGMLType.IQ4_XS, shape=(8, 256)).T
     np.testing.assert_allclose(dequantize_qtensor(qt), ref, rtol=1e-6)
+
+
+@pytest.mark.parametrize("name,t", [("iq2_xxs", "IQ2_XXS"),
+                                    ("iq2_xs", "IQ2_XS"),
+                                    ("iq3_xxs", "IQ3_XXS")])
+def test_iq_codebook_dequant_golden(name, t):
+    """IQ2_XXS/IQ2_XS/IQ3_XXS decode vs reference golden vectors
+    (decode-only formats; encoders require imatrix grid search)."""
+    from ggml_imax_tpu.quant import codecs
+    from ggml_imax_tpu.quant.formats import GGMLType
+    import pathlib
+    g = np.load(pathlib.Path(__file__).parent / "fixtures/golden_iq.npz")
+    tt = getattr(GGMLType, t)
+    mine = codecs.dequantize(g[f"{name}_bytes"], tt)
+    np.testing.assert_array_equal(g[f"{name}_dequant"], mine)
+    from ggml_imax_tpu.quant.imatrix import quantize_requires_imatrix
+    assert quantize_requires_imatrix(tt)
