@@ -143,6 +143,20 @@ def from_hf_state_dict(cfg: LlamaConfig, sd: dict, wtype: GGMLType = GGMLType.F3
     return params
 
 
+def fuse_qkv(params):
+    """Concatenate q/k/v projections ((E,E)+(E,KV)+(E,KV)) into one GEMV per
+    layer; forward splits by GQA widths. Call BEFORE params_repack_device."""
+    from ..quant.device import concat_qtensors
+    out = dict(params)
+    out["layers"] = []
+    for lp in params["layers"]:
+        lp = dict(lp)
+        lp["qkv_w"] = concat_qtensors([lp.pop("q_w"), lp.pop("k_w"),
+                                       lp.pop("v_w")])
+        out["layers"].append(lp)
+    return out
+
+
 def init_cache(cfg: LlamaConfig, batch: int = 1, n_ctx: int | None = None,
                dtype=jnp.bfloat16) -> KVCache:
     return init_kv_cache(cfg.n_layer, batch, n_ctx or cfg.n_ctx,
@@ -168,9 +182,16 @@ def forward(cfg: LlamaConfig, params, tokens, positions, cache: KVCache, n_past,
 
     for li, lp in enumerate(params["layers"]):
         cur = rms_norm(x, lp["attn_norm"], eps=cfg.rms_eps)
-        q = mm(cur, lp["q_w"]).reshape(B, T, H, D)
-        kk = mm(cur, lp["k_w"]).reshape(B, T, Hkv, D)
-        vv = mm(cur, lp["v_w"]).reshape(B, T, Hkv, D)
+        if "qkv_w" in lp:
+            # fused QKV (fuse_qkv): split by GQA-aware widths
+            qkv = mm(cur, lp["qkv_w"])
+            q = qkv[..., :E].reshape(B, T, H, D)
+            kk = qkv[..., E:E + Hkv * D].reshape(B, T, Hkv, D)
+            vv = qkv[..., E + Hkv * D:].reshape(B, T, Hkv, D)
+        else:
+            q = mm(cur, lp["q_w"]).reshape(B, T, H, D)
+            kk = mm(cur, lp["k_w"]).reshape(B, T, Hkv, D)
+            vv = mm(cur, lp["v_w"]).reshape(B, T, Hkv, D)
         q = rope(q, positions, **rope_args)
         kk = rope(kk, positions, **rope_args)
 

@@ -57,6 +57,7 @@ class Request:
     done: bool = False
     rng: np.random.Generator = field(default_factory=np.random.default_rng)
     logits: np.ndarray | None = None
+    next_tok: int | None = None
 
 
 class BatchedEngine:
@@ -64,12 +65,21 @@ class BatchedEngine:
     `forward(..., cells=, mask=)` interface (gpt2/gptj/llama)."""
 
     def __init__(self, model_module, cfg, params, *, n_ctx: int | None = None,
-                 compute_dtype=jnp.bfloat16, kv_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16, kv_dtype=jnp.bfloat16,
+                 on_device_sampling: bool = False, top_k: int = 40,
+                 top_p: float = 0.9, seed: int = 0):
+        """on_device_sampling: sample inside the jitted step (per-row
+        temperature; engine-wide top_k/top_p) and return only token ids —
+        the host never fetches logits. Essential over slow host<->device
+        links; the reference keeps sampling on host (common.h:114)."""
         self.model = model_module
         self.cfg = cfg
         self.params = params
         self.n_ctx = n_ctx or cfg.n_ctx
         self.kv_dtype = kv_dtype
+        self.on_device_sampling = on_device_sampling
+        self._key = jax.random.key(seed)
+        self._step_no = 0
 
         # host-side cell registry (main-batched.cpp:80-117)
         self.cell_pos = np.full(self.n_ctx, -1, np.int32)
@@ -87,6 +97,18 @@ class BatchedEngine:
                                         0, compute_dtype=compute_dtype,
                                         cells=cells, mask=mask)
         self._step = jax.jit(step, donate_argnums=(7,))
+
+        def step_sampled(params, tokens, positions, seqs, cells, cell_pos,
+                         cell_seq, cache, temps, key):
+            from ..ops.sampling import sample_device
+            logits, cache = step(params, tokens, positions, seqs, cells,
+                                 cell_pos, cell_seq, cache)
+            lg = logits[0].astype(jnp.float32)             # (nb, V)
+            greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            drawn = sample_device(lg, key, top_k=top_k, top_p=top_p,
+                                  temp=jnp.maximum(temps, 1e-6)[:, None])
+            return jnp.where(temps <= 0, greedy, drawn), cache
+        self._step_sampled = jax.jit(step_sampled, donate_argnums=(7,))
 
     # -- cell registry ------------------------------------------------------
     def _find_slot(self, n: int) -> int:
@@ -145,6 +167,7 @@ class BatchedEngine:
         r.n_prompt_done = len(src.prompt)
         r.prompt = src.prompt
         r.logits = None if src.logits is None else src.logits.copy()
+        r.next_tok = src.next_tok          # device-sampling mode fork
         self.seq_cp(src.seq, r.seq)
         return new
 
@@ -172,7 +195,7 @@ class BatchedEngine:
                 r.n_prompt_done = len(r.prompt)
                 sample_rows.append((r, len(toks) - 1))
             else:
-                if r.logits is None:
+                if r.logits is None and getattr(r, "next_tok", None) is None:
                     r.done = True
                     continue
                 tok = self._sample(r)
@@ -210,16 +233,35 @@ class BatchedEngine:
         seq_arr = arr(seqs, MAX_SEQ - 1, np.int32)
         cells_arr = arr(cells, self.n_ctx, np.int32)
 
-        logits, self.cache = self._step(
-            self.params, tokens, positions, seq_arr, cells_arr,
-            jnp.asarray(self.cell_pos[None]), jnp.asarray(self.cell_seq[None]),
-            self.cache)
-        lg = np.asarray(logits[0])
-        for r, row in sample_rows:
-            r.logits = lg[row]
+        if self.on_device_sampling:
+            temps = np.zeros(nb, np.float32)
+            for r, row in sample_rows:
+                temps[row] = max(0.0, r.temp)
+            self._step_no += 1
+            key = jax.random.fold_in(self._key, self._step_no)
+            toks_out, self.cache = self._step_sampled(
+                self.params, tokens, positions, seq_arr, cells_arr,
+                jnp.asarray(self.cell_pos[None]),
+                jnp.asarray(self.cell_seq[None]), self.cache,
+                jnp.asarray(temps), key)
+            ids = np.asarray(toks_out)                 # (nb,) int32 — tiny
+            for r, row in sample_rows:
+                r.next_tok = int(ids[row])
+        else:
+            logits, self.cache = self._step(
+                self.params, tokens, positions, seq_arr, cells_arr,
+                jnp.asarray(self.cell_pos[None]),
+                jnp.asarray(self.cell_seq[None]), self.cache)
+            lg = np.asarray(logits[0])
+            for r, row in sample_rows:
+                r.logits = lg[row]
         return any(not r.done for r in self.requests.values())
 
     def _sample(self, r: Request) -> int:
+        if self.on_device_sampling:
+            tok = r.next_tok
+            r.next_tok = None
+            return tok
         if r.temp <= 0:
             return sample_greedy(r.logits)
         return sample_host(r.logits, top_k=r.top_k, top_p=r.top_p,

@@ -102,3 +102,24 @@ def test_engine_residency_q4_fused_with_model_fusion(rng):
     # paths may only diverge if logits are near-ties, which synthetic
     # weights make vanishingly unlikely over 5 steps
     assert got == ref, (got, ref)
+
+
+def test_batched_on_device_sampling_greedy_matches(tiny):
+    cfg, params = tiny
+    prompt = [3, 14, 15, 92, 6]
+    ref = greedy_reference(cfg, params, prompt, 8)
+    be = BatchedEngine(gpt2, cfg, params, compute_dtype=jnp.float32,
+                       kv_dtype=jnp.float32, on_device_sampling=True)
+    rid = be.add_request(prompt, 8, temp=0.0)
+    out = be.run()[rid]
+    assert out == ref, (out, ref)
+
+
+def test_batched_on_device_sampling_stochastic(tiny):
+    cfg, params = tiny
+    be = BatchedEngine(gpt2, cfg, params, compute_dtype=jnp.float32,
+                       kv_dtype=jnp.float32, on_device_sampling=True,
+                       top_k=20, seed=4)
+    rid = be.add_request([3, 14], 6, temp=0.9)
+    out = be.run()[rid]
+    assert len(out) == 6 and all(0 <= t < cfg.n_vocab for t in out)

@@ -119,3 +119,27 @@ def test_llama_gguf_roundtrip(tmp_path):
                                   compute_dtype=jnp.float32)
     assert logits.shape == (1, 3, V)
     assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_llama_fused_qkv_matches():
+    torch.manual_seed(0)
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64)
+    model = transformers.LlamaForCausalLM(hf_cfg).eval()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    cfg = llama.LlamaConfig(n_vocab=96, n_ctx=64, n_embd=64, n_head=4,
+                            n_head_kv=2, n_layer=2, n_ff=128,
+                            rope_mode=ROPE_MODE_NEOX)
+    params = llama.from_hf_state_dict(cfg, sd, GGMLType.F32)
+    toks = np.asarray([[3, 9, 27, 4]], np.int32)
+    pos = np.arange(4, dtype=np.int32)[None]
+    c1 = llama.init_cache(cfg, dtype=jnp.float32)
+    ref, _ = llama.forward(cfg, params, jnp.asarray(toks), jnp.asarray(pos),
+                           c1, 0, compute_dtype=jnp.float32)
+    c2 = llama.init_cache(cfg, dtype=jnp.float32)
+    got, _ = llama.forward(cfg, llama.fuse_qkv(params), jnp.asarray(toks),
+                           jnp.asarray(pos), c2, 0, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=1e-5, atol=1e-5)
