@@ -98,9 +98,19 @@ class BatchedEngine:
                                         cells=cells, mask=mask)
         self._step = jax.jit(step, donate_argnums=(7,))
 
-        def step_sampled(params, tokens, positions, seqs, cells, cell_pos,
-                         cell_seq, cache, temps, key):
+        def step_sampled(params, packed, temps, cache, key, nb):
+            # packed: ONE int32 upload [tokens|positions|seqs|cells|
+            # cell_pos|cell_seq] — a single host->device transfer per step
+            # (each separate small upload costs a full round trip on
+            # tunneled runtimes)
             from ..ops.sampling import sample_device
+            tokens = packed[0:nb][None]
+            positions = packed[nb:2 * nb][None]
+            seqs = packed[2 * nb:3 * nb][None]
+            cells = packed[3 * nb:4 * nb][None]
+            cell_pos = packed[4 * nb:4 * nb + self.n_ctx][None]
+            cell_seq = packed[4 * nb + self.n_ctx:
+                              4 * nb + 2 * self.n_ctx].astype(jnp.uint32)[None]
             logits, cache = step(params, tokens, positions, seqs, cells,
                                  cell_pos, cell_seq, cache)
             lg = logits[0].astype(jnp.float32)             # (nb, V)
@@ -108,7 +118,8 @@ class BatchedEngine:
             drawn = sample_device(lg, key, top_k=top_k, top_p=top_p,
                                   temp=jnp.maximum(temps, 1e-6)[:, None])
             return jnp.where(temps <= 0, greedy, drawn), cache
-        self._step_sampled = jax.jit(step_sampled, donate_argnums=(7,))
+        self._step_sampled = jax.jit(step_sampled, donate_argnums=(3,),
+                                     static_argnames=("nb",))
 
     # -- cell registry ------------------------------------------------------
     def _find_slot(self, n: int) -> int:
@@ -239,11 +250,19 @@ class BatchedEngine:
                 temps[row] = max(0.0, r.temp)
             self._step_no += 1
             key = jax.random.fold_in(self._key, self._step_no)
+            packed = np.concatenate([
+                np.pad(np.asarray(toks, np.int32), (0, pad)),
+                np.pad(np.asarray(poss, np.int32), (0, pad)),
+                np.pad(np.asarray(seqs, np.int32), (0, pad),
+                       constant_values=MAX_SEQ - 1),
+                np.pad(np.asarray(cells, np.int32), (0, pad),
+                       constant_values=self.n_ctx),
+                self.cell_pos.astype(np.int32),
+                self.cell_seq.view(np.int32),
+            ])
             toks_out, self.cache = self._step_sampled(
-                self.params, tokens, positions, seq_arr, cells_arr,
-                jnp.asarray(self.cell_pos[None]),
-                jnp.asarray(self.cell_seq[None]), self.cache,
-                jnp.asarray(temps), key)
+                self.params, jnp.asarray(packed), jnp.asarray(temps),
+                self.cache, key, nb=nb)
             ids = np.asarray(toks_out)                 # (nb,) int32 — tiny
             for r, row in sample_rows:
                 r.next_tok = int(ids[row])
