@@ -1233,3 +1233,124 @@ def dequantize_iq3_xxs(raw: np.ndarray) -> np.ndarray:
 _DEQUANTIZERS[GGMLType.IQ2_XXS] = dequantize_iq2_xxs
 _DEQUANTIZERS[GGMLType.IQ2_XS] = dequantize_iq2_xs
 _DEQUANTIZERS[GGMLType.IQ3_XXS] = dequantize_iq3_xxs
+
+
+# IQ2_S / IQ3_S / IQ1_S / IQ1_M — decode only (reference loops
+# ggml-quants.c:3133-3167 (iq2_s), :3201-3240 (iq3_s), :3235-3258 (iq1_s),
+# :3260-3320 (iq1_m)); grids in iq_grids.npz; IQ1*_DELTA = 0.125
+# (ggml-common.h:1074-1075).
+
+BLOCK_DTYPES[GGMLType.IQ2_S] = np.dtype(
+    [("d", "<f2"), ("qs", "u1", (QK_K // 4,)), ("qh", "u1", (QK_K // 32,)),
+     ("scales", "u1", (QK_K // 32,))])
+BLOCK_DTYPES[GGMLType.IQ3_S] = np.dtype(
+    [("d", "<f2"), ("qs", "u1", (QK_K // 4,)), ("qh", "u1", (QK_K // 32,)),
+     ("signs", "u1", (QK_K // 8,)), ("scales", "u1", (QK_K // 64,))])
+BLOCK_DTYPES[GGMLType.IQ1_S] = np.dtype(
+    [("d", "<f2"), ("qs", "u1", (QK_K // 8,)), ("qh", "<u2", (QK_K // 32,))])
+BLOCK_DTYPES[GGMLType.IQ1_M] = np.dtype(
+    [("qs", "u1", (QK_K // 8,)), ("qh", "u1", (QK_K // 16,)),
+     ("scales", "u1", (QK_K // 32,))])
+for _t in (GGMLType.IQ2_S, GGMLType.IQ3_S, GGMLType.IQ1_S, GGMLType.IQ1_M):
+    assert BLOCK_DTYPES[_t].itemsize == FORMATS[_t].type_size, _t
+
+IQ1_DELTA = f32(0.125)
+
+
+def _sign_bits(bytes_):
+    """uint8 (..., n) -> +-1 f32 (..., n, 8) from raw sign bytes."""
+    bits = (bytes_[..., None] >> np.arange(8)) & 1
+    return np.where(bits == 1, f32(-1.0), f32(1.0))
+
+
+def dequantize_iq2_s(raw: np.ndarray) -> np.ndarray:
+    import pathlib
+    z = np.load(pathlib.Path(__file__).parent / "iq_grids.npz")
+    grid = z["iq2s_grid"].view(np.uint8).reshape(1024, 8).astype(f32)
+    b = _blocks_view(raw, GGMLType.IQ2_S)
+    d = b["d"].astype(f32)
+    qs = b["qs"][:, :QK_K // 8].reshape(-1, 8, 4).astype(np.uint32)
+    signs = b["qs"][:, QK_K // 8:].reshape(-1, 8, 4)
+    qh = b["qh"].astype(np.uint32)                   # (nb, 8)
+    sc = b["scales"]
+    db0 = d[:, None] * (f32(0.5) + (sc & 0xF).astype(f32)) * f32(0.25)
+    db1 = d[:, None] * (f32(0.5) + (sc >> 4).astype(f32)) * f32(0.25)
+    db = np.stack([db0, db0, db1, db1], axis=-1)     # (nb, 8, 4)
+    l = np.arange(4)
+    idx = qs | ((qh[:, :, None] << (8 - 2 * l)) & 0x300)
+    vals = grid[idx] * _sign_bits(signs)             # (nb, 8, 4, 8)
+    return (db[:, :, :, None] * vals).reshape(-1)
+
+
+def dequantize_iq3_s(raw: np.ndarray) -> np.ndarray:
+    import pathlib
+    z = np.load(pathlib.Path(__file__).parent / "iq_grids.npz")
+    grid = z["iq3s_grid"].view(np.uint8).reshape(512, 4).astype(f32)
+    b = _blocks_view(raw, GGMLType.IQ3_S)
+    d = b["d"].astype(f32)
+    qs = b["qs"].reshape(-1, 8, 8).astype(np.uint32)     # per ib32: 8 bytes
+    qh = b["qh"].astype(np.uint32)                       # (nb, 8)
+    signs = b["signs"].reshape(-1, 8, 4)
+    sc = b["scales"]                                     # (nb, 4)
+    dbl = d[:, None] * (1 + 2 * (sc & 0xF).astype(f32))  # ib32 even
+    dbh = d[:, None] * (1 + 2 * (sc >> 4).astype(f32))   # ib32 odd
+    db = np.stack([dbl, dbh], axis=-1).reshape(-1, 8)    # (nb, ib32)
+    l = np.arange(4)
+    idx1 = qs[:, :, 0::2] | ((qh[:, :, None] << (8 - 2 * l)) & 256)
+    idx2 = qs[:, :, 1::2] | ((qh[:, :, None] << (7 - 2 * l)) & 256)
+    g = np.concatenate([grid[idx1], grid[idx2]], axis=-1)  # (nb,8,4,8) j0-3|4-7
+    vals = g * _sign_bits(signs)
+    return (db[:, :, None, None] * vals).reshape(-1)
+
+
+def dequantize_iq1_s(raw: np.ndarray) -> np.ndarray:
+    import pathlib
+    z = np.load(pathlib.Path(__file__).parent / "iq_grids.npz")
+    grid = z["iq1s_grid"].view(np.int8).reshape(2048, 8).astype(f32)
+    b = _blocks_view(raw, GGMLType.IQ1_S)
+    d = b["d"].astype(f32)
+    qs = b["qs"].reshape(-1, 8, 4).astype(np.uint32)
+    qh = b["qh"].astype(np.uint32)                   # (nb, 8)
+    dl = d[:, None] * (2 * ((qh >> 12) & 7).astype(f32) + 1)
+    delta = np.where((qh & 0x8000) != 0, -IQ1_DELTA, IQ1_DELTA)  # (nb, 8)
+    l = np.arange(4)
+    idx = qs | (((qh[:, :, None] >> (3 * l)) & 7) << 8)
+    vals = grid[idx] + delta[:, :, None, None]
+    return (dl[:, :, None, None] * vals).reshape(-1)
+
+
+def dequantize_iq1_m(raw: np.ndarray) -> np.ndarray:
+    import pathlib
+    z = np.load(pathlib.Path(__file__).parent / "iq_grids.npz")
+    grid = z["iq1s_grid"].view(np.int8).reshape(2048, 8).astype(f32)
+    b = _blocks_view(raw, GGMLType.IQ1_M)
+    sc = b["scales"].copy().view("<u2")              # (nb, 4)
+    du16 = ((sc[:, 0] >> 12) | ((sc[:, 1] >> 8) & 0x00F0)
+            | ((sc[:, 2] >> 4) & 0x0F00) | (sc[:, 3] & 0xF000)).astype(np.uint16)
+    d = du16.view(np.float16).astype(f32)            # fp16 super scale
+    qs = b["qs"].reshape(-1, 8, 4).astype(np.uint32)
+    qh = b["qh"].reshape(-1, 8, 2).astype(np.uint32)
+    # per ib: dl1 (pairs l=0,1), dl2 (l=2,3) from 3-bit scales
+    ib = np.arange(8)
+    s3 = (sc[:, ib // 2 % 4] >> (6 * (ib % 2))[None, :])
+    dl1 = d[:, None] * (2 * ((s3 >> 0) & 7).astype(f32) + 1)
+    dl2 = d[:, None] * (2 * ((s3 >> 3) & 7).astype(f32) + 1)
+    dl = np.stack([dl1, dl1, dl2, dl2], axis=-1)     # (nb, 8, 4)
+    idx = np.stack([
+        qs[:, :, 0] | ((qh[:, :, 0] << 8) & 0x700),
+        qs[:, :, 1] | ((qh[:, :, 0] << 4) & 0x700),
+        qs[:, :, 2] | ((qh[:, :, 1] << 8) & 0x700),
+        qs[:, :, 3] | ((qh[:, :, 1] << 4) & 0x700)], axis=-1)
+    delta = np.stack([
+        np.where((qh[:, :, 0] & 0x08) != 0, -IQ1_DELTA, IQ1_DELTA),
+        np.where((qh[:, :, 0] & 0x80) != 0, -IQ1_DELTA, IQ1_DELTA),
+        np.where((qh[:, :, 1] & 0x08) != 0, -IQ1_DELTA, IQ1_DELTA),
+        np.where((qh[:, :, 1] & 0x80) != 0, -IQ1_DELTA, IQ1_DELTA)], axis=-1)
+    vals = grid[idx] + delta[:, :, :, None]
+    return (dl[:, :, :, None] * vals).reshape(-1)
+
+
+_DEQUANTIZERS[GGMLType.IQ2_S] = dequantize_iq2_s
+_DEQUANTIZERS[GGMLType.IQ3_S] = dequantize_iq3_s
+_DEQUANTIZERS[GGMLType.IQ1_S] = dequantize_iq1_s
+_DEQUANTIZERS[GGMLType.IQ1_M] = dequantize_iq1_m

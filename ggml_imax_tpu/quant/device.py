@@ -217,7 +217,9 @@ def to_device_format(raw: np.ndarray, t: GGMLType, shape_ne: tuple[int, ...]) ->
         scale = (b["d"].astype(f32)[..., None] * b["scales"].astype(f32)).reshape(n, -1)  # per-16
         return QTensor("int8", qdev, np.ascontiguousarray(scale.T), None, k, n, t)
 
-    if t in (GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ3_XXS):
+    if t in (GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
+             GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S,
+             GGMLType.IQ1_M):
         # codebook grids don't factor into (int, per-block scale); decode to
         # a dense image once at load (these are decode-only formats here)
         w = codecs.dequantize(raw, t, shape=(n, k)).T

@@ -91,6 +91,10 @@ FORMATS: dict[GGMLType, FormatInfo] = {
     GGMLType.Q6_K: FormatInfo("q6_K", QK_K, QK_K // 2 + QK_K // 4 + QK_K // 16 + 2, True),
     GGMLType.Q8_K: FormatInfo("q8_K", QK_K, 4 + QK_K + QK_K // 16 * 2, True),
     GGMLType.IQ2_XXS: FormatInfo("iq2_xxs", QK_K, 2 + QK_K // 8 * 2, True),
+    GGMLType.IQ2_S: FormatInfo("iq2_s", QK_K, 2 + QK_K // 4 + QK_K // 16, True),
+    GGMLType.IQ3_S: FormatInfo("iq3_s", QK_K, 2 + 13 * (QK_K // 32) + QK_K // 64, True),
+    GGMLType.IQ1_S: FormatInfo("iq1_s", QK_K, 2 + QK_K // 8 + QK_K // 16, True),
+    GGMLType.IQ1_M: FormatInfo("iq1_m", QK_K, QK_K // 8 + QK_K // 16 + QK_K // 32, True),
     GGMLType.IQ2_XS: FormatInfo("iq2_xs", QK_K, 2 + QK_K // 8 * 2 + QK_K // 32, True),
     GGMLType.IQ3_XXS: FormatInfo("iq3_xxs", QK_K, 2 + QK_K // 4 + QK_K // 8, True),
     GGMLType.IQ4_NL: FormatInfo("iq4_nl", QK, 2 + QK // 2, True),

@@ -104,4 +104,6 @@ def quantize_requires_imatrix(t: GGMLType) -> bool:
     """ggml_quantize_requires_imatrix (ggml.c:21586): true for the codebook
     IQ formats. IQ2_XXS/IQ2_XS/IQ3_XXS are decode-only here (their k-means
     grid-search encoders are not implemented)."""
-    return t in (GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ3_XXS)
+    return t in (GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
+                 GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S,
+                 GGMLType.IQ1_M)

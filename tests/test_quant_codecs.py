@@ -161,7 +161,11 @@ def test_iq4_xs_roundtrip_and_device(rng):
 
 @pytest.mark.parametrize("name,t", [("iq2_xxs", "IQ2_XXS"),
                                     ("iq2_xs", "IQ2_XS"),
-                                    ("iq3_xxs", "IQ3_XXS")])
+                                    ("iq3_xxs", "IQ3_XXS"),
+                                    ("iq2_s", "IQ2_S"),
+                                    ("iq3_s", "IQ3_S"),
+                                    ("iq1_s", "IQ1_S"),
+                                    ("iq1_m", "IQ1_M")])
 def test_iq_codebook_dequant_golden(name, t):
     """IQ2_XXS/IQ2_XS/IQ3_XXS decode vs reference golden vectors
     (decode-only formats; encoders require imatrix grid search)."""
