@@ -116,12 +116,16 @@ def params_repack_device(params, bk: int = DEFAULT_BK):
     per-backend weight re-encoding, src/ggml-cuda/convert.cu). Per-32-scale
     tensors get the row-pair int4 layout; per-16 keep plane-split."""
     def conv(x):
-        if isinstance(x, QTensor) and x.kind == "nib4" \
-                and x.interleaved_bk == 0 and x.k % bk == 0:
+        if not isinstance(x, QTensor) or x.interleaved_bk != 0 \
+                or x.k % bk != 0:
+            return x
+        if x.kind == "nib4":
             groups = x.scale.shape[0]
             if groups == x.k // 32 and x.zero in (0, 8):
                 return repack_rowpair_device(x, bk)
             return repack_interleaved_device(x, bk)
+        if x.kind == "int8" and x.k // x.scale.shape[0] in (16, 32):
+            return repack_int8_rows_device(x, bk)
         return x
 
     def walk(d):
@@ -237,8 +241,11 @@ def qmatmul_pallas(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
                    interpret: bool | None = None) -> jax.Array:
     """Fused quantized matmul on a block-interleaved nib4 QTensor.
     x: (..., K) bf16/f32 -> (..., N) f32."""
-    assert qt.kind == "nib4" and qt.interleaved_bk > 0, \
-        "qmatmul_pallas requires repack_interleaved() weights"
+    assert qt.interleaved_bk > 0, \
+        "qmatmul_pallas requires repacked weights (params_repack_device)"
+    if qt.q4_layout == 2:
+        return _qmatmul_int8(x, qt, bn=bn, interpret=interpret)
+    assert qt.kind == "nib4", qt.kind
     if qt.q4_layout == 1:
         return _qmatmul_rowpair(x, qt, bn=bn, interpret=interpret)
     bk = qt.interleaved_bk
@@ -352,6 +359,124 @@ def _qmatmul_rowpair(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
             flops=2 * m * k * n,
             bytes_accessed=k * n // 2 + k // 32 * n * 4 * (2 if has_bias else 1)
             + m * k * 2 + m * n * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(*lead, n)
+
+
+# ---- int8-kind fused kernel (Q5_0/Q5_1/Q8_0/Q5_K/Q6_K/IQ4_*: weights are
+# already int8 in HBM; the kernel streams them at 1 byte/elt and expands to
+# bf16 in VMEM — the dmmv.cu analog for 8-bit-ish formats) ----
+
+def repack_int8_rows_device(qt: QTensor, bk: int = DEFAULT_BK) -> QTensor:
+    """Reorder int8 rows into u-order (element (block b, intra e) -> row
+    u = e*NB + b, NB = bk/group) so per-group scale expansion is a
+    tile-repeat, exactly like the row-pair layout. Group is 16 or 32
+    depending on the format's scale granularity."""
+    assert qt.kind == "int8" and qt.interleaved_bk == 0
+    assert qt.k % bk == 0, (qt.k, bk)
+    groups = qt.scale.shape[0]
+    g = qt.k // groups
+    assert g in (16, 32), g
+    nb = bk // g
+
+    @jax.jit
+    def rp(q):
+        vt = q.reshape(qt.k // bk, nb, g, qt.n).transpose(0, 2, 1, 3)
+        return vt.reshape(qt.k, qt.n)
+
+    return replace(qt, q=rp(jnp.asarray(qt.q)),
+                   scale=jnp.asarray(qt.scale),
+                   bias=None if qt.bias is None else jnp.asarray(qt.bias),
+                   interleaved_bk=bk, q4_layout=2)
+
+
+def _permute_activations_int8(x, k, bk, g):
+    nb = bk // g
+    lead = x.shape[:-1]
+    xr = x.reshape(*lead, k // bk, nb, g)
+    return xr.swapaxes(-2, -1).reshape(*lead, k)
+
+
+def _kernel_int8(has_bias, g, *refs):
+    if has_bias:
+        x_ref, q_ref, s_ref, xs_ref, b_ref, o_ref, acc_ref = refs
+    else:
+        x_ref, q_ref, s_ref, o_ref, acc_ref = refs
+    kk = pl.program_id(1)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = q_ref[:].astype(jnp.bfloat16) \
+        * pltpu.repeat(s_ref[:].astype(jnp.bfloat16), g, axis=0)
+    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+    if has_bias:
+        acc_ref[:] += jax.lax.dot_general(
+            xs_ref[:], b_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(kk == pl.num_programs(1) - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def _qmatmul_int8(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
+                  interpret: bool | None = None) -> jax.Array:
+    bk = qt.interleaved_bk
+    groups = qt.scale.shape[0]
+    g = qt.k // groups
+    nb = bk // g
+    k, n = qt.k, qt.n
+    bn = min(bn, n)
+    if n % bn:
+        for cand in (512, 256, 128):
+            if n % cand == 0:
+                bn = cand
+                break
+    assert n % bn == 0, (n, bn)
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+
+    lead = x.shape[:-1]
+    m = int(np.prod(lead)) if lead else 1
+    x2 = x.reshape(m, k).astype(jnp.bfloat16)
+    xp = _permute_activations_int8(x2, k, bk, g)
+
+    has_bias = qt.bias is not None
+    args = [xp, jnp.asarray(qt.q), jnp.asarray(qt.scale)]
+    in_specs = [
+        pl.BlockSpec((m, bk), lambda nn, kk: (0, kk), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk, bn), lambda nn, kk: (kk, nn),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, bn), lambda nn, kk: (kk, nn),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_bias:
+        xs = x2.astype(jnp.float32).reshape(m, groups, g).sum(axis=-1).T
+        args += [xs, jnp.asarray(qt.bias)]
+        in_specs += [
+            pl.BlockSpec((nb, m), lambda nn, kk: (kk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, bn), lambda nn, kk: (kk, nn),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    out = pl.pallas_call(
+        partial(_kernel_int8, has_bias, g),
+        grid=(n // bn, k // bk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((m, bn), lambda nn, kk: (0, nn),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=k * n + k // g * n * 4 + m * k * 2 + m * n * 4,
             transcendentals=0),
         interpret=interpret,
     )(*args)

@@ -112,7 +112,7 @@ def qmatmul(x: jax.Array, qt: QTensor, *, compute_dtype=jnp.bfloat16,
     # (ggml-cuda.cu:1867-1960). The kernel also wins at prefill m (the XLA
     # dequant-fusion re-unpacks weights per output tile; the kernel unpacks
     # each tile once with all of m resident in VMEM), up to the VMEM cap.
-    if (qt.kind == "nib4" and qt.interleaved_bk > 0
+    if (qt.kind in ("nib4", "int8") and qt.interleaved_bk > 0
             and jax.devices()[0].platform == "tpu"
             and _leading(x) <= 512 and qt.n % 128 == 0):
         from .pallas_qmm import qmatmul_pallas

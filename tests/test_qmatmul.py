@@ -186,3 +186,28 @@ def test_params_repack_prefers_rowpair(rng):
     r = params_repack_device(p)
     assert r["a"].q4_layout == 1 and r["a"].interleaved_bk > 0
     assert r["b"].q4_layout == 0 and r["b"].interleaved_bk > 0
+
+
+@pytest.mark.parametrize("t", ["Q8_0", "Q5_0", "Q5_1", "Q6_K", "Q5_K",
+                               "IQ4_NL"])
+def test_int8_fused_kernel_parity(rng, t):
+    """Fused int8-kind kernel (u-order rows, per-16/32 tile-repeat scales)
+    vs exact f32 dequant matmul. bf16 weight products bound the error
+    (~3e-3 for 8-bit, ~8e-3 for 5-bit-with-bias; ggml's vec_dot contract
+    is 2e-2 abs/elt)."""
+    import jax.numpy as jnp
+    from ggml_imax_tpu.ops.pallas_qmm import (qmatmul_pallas,
+                                              repack_int8_rows_device)
+    from ggml_imax_tpu.quant.device import (dequantize_qtensor,
+                                            quantize_for_device)
+    from ggml_imax_tpu.quant.formats import GGMLType
+    tt = getattr(GGMLType, t)
+    K, N = 1024, 256
+    w = (rng.standard_normal((K, N)) * 0.3).astype(np.float32)
+    qt = quantize_for_device(w, tt)
+    x = jnp.asarray(rng.standard_normal((3, K)).astype(np.float32))
+    exact = np.asarray(x) @ dequantize_qtensor(qt)
+    got = np.asarray(qmatmul_pallas(x, repack_int8_rows_device(qt),
+                                    interpret=True))
+    err = np.abs(got - exact).max() / (np.abs(exact).max() + 1e-9)
+    assert err < 1.2e-2, (t, err)
