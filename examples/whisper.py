@@ -17,6 +17,8 @@ def main():
     p.add_argument("--translate", action="store_true")
     p.add_argument("-bs", "--beam_size", type=int, default=5)
     p.add_argument("--no-timestamps", action="store_true", default=True)
+    p.add_argument("--dtw", action="store_true",
+                   help="DTW token-level timestamps")
     args = p.parse_args()
 
     from ggml_imax_tpu.audio.wav import read_wav
@@ -32,9 +34,12 @@ def main():
         lang = pipe.detect_language(samples)
         print(f"detected language: {lang}", file=sys.stderr)
     fp = FullParams(language=lang, translate=args.translate,
-                    beam_size=args.beam_size)
+                    beam_size=args.beam_size, token_timestamps=args.dtw)
     for seg in pipe.transcribe(samples, fp):
         print(f"[{seg.t0:7.2f} -> {seg.t1:7.2f}] {seg.text}")
+        if seg.token_times:
+            for t, ts in zip(seg.tokens, seg.token_times):
+                print(f"    {ts:7.2f}s  {pipe.decode_text([t])!r}")
 
 
 if __name__ == "__main__":

@@ -51,6 +51,7 @@ class FullParams:
     logprob_thold: float = -1.0
     entropy_thold: float = 2.4
     no_timestamps: bool = True
+    token_timestamps: bool = False       # DTW token-level times (dtw_aheads)
     max_tokens: int = 0                  # 0 = until eot / ctx limit
     seed: int = 0
 
@@ -63,6 +64,7 @@ class Segment:
     text: str
     avg_logprob: float
     temperature: float
+    token_times: list | None = None      # per-token seconds (DTW), optional
 
 
 class WhisperPipeline:
@@ -228,11 +230,16 @@ class WhisperPipeline:
                 if avg_lp >= fp.logprob_thold and ent <= fp.entropy_thold:
                     break
             text = self.decode_text(tokens)
+            tt = None
+            if fp.token_timestamps and tokens:
+                full = token_timestamps(self, cross, prompt + tokens,
+                                        t_offset=seek / SAMPLE_RATE)
+                tt = list(full[len(prompt):])
             segments.append(Segment(
                 t0=seek / SAMPLE_RATE,
                 t1=min(n, seek + N_SAMPLES) / SAMPLE_RATE,
                 tokens=tokens, text=text, avg_logprob=avg_lp,
-                temperature=used_t))
+                temperature=used_t, token_times=tt))
             seek += N_SAMPLES
         return segments
 

@@ -136,6 +136,15 @@ def test_whisper_pipeline_transcribe_smoke():
     assert segs[0].temperature == 0.0         # QC passes at first temp
     assert isinstance(segs[0].text, str)
 
+    # with DTW token timestamps
+    fp2 = FullParams(beam_size=1, max_tokens=4, temperatures=(0.0,),
+                     logprob_thold=-1e9, entropy_thold=1e9,
+                     token_timestamps=True)
+    segs2 = pipe.transcribe(samples, fp2)
+    tt = segs2[0].token_times
+    assert tt is not None and len(tt) == len(segs2[0].tokens)
+    assert all(b >= a for a, b in zip(tt, tt[1:]))
+
 
 def test_dtw_token_timestamps():
     """DTW token-level timestamps (whisper.cpp:355-378 analog): monotonic,
