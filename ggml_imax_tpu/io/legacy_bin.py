@@ -100,7 +100,7 @@ def read_legacy_bin(path: str | Path, hparam_names: list[str],
 def write_legacy_bin(path: str | Path, hparams: dict[str, int],
                      hparam_names: list[str], vocab: list[bytes],
                      tensors: dict[str, tuple[GGMLType, tuple[int, ...], np.ndarray]],
-                     ) -> None:
+                     has_vocab: bool = True) -> None:
     """Write a legacy ggml .bin (inverse of read_legacy_bin; layout as
     produced by the reference's convert scripts, e.g.
     gpt-2/convert-ckpt-to-ggml.py). tensors: name -> (type, ne_shape,
@@ -109,11 +109,12 @@ def write_legacy_bin(path: str | Path, hparams: dict[str, int],
         f.write(struct.pack("<I", GGML_FILE_MAGIC))
         for name in hparam_names:
             f.write(struct.pack("<i", hparams[name]))
-        f.write(struct.pack("<i", len(vocab)))
-        for tok in vocab:
-            b = tok if isinstance(tok, bytes) else str(tok).encode()
-            f.write(struct.pack("<I", len(b)))
-            f.write(b)
+        if has_vocab:
+            f.write(struct.pack("<i", len(vocab)))
+            for tok in vocab:
+                b = tok if isinstance(tok, bytes) else str(tok).encode()
+                f.write(struct.pack("<I", len(b)))
+                f.write(b)
         for name, (t, ne, raw) in tensors.items():
             nb = name.encode()
             f.write(struct.pack("<iii", len(ne), len(nb), int(t)))

@@ -68,6 +68,8 @@ HPARAM_NAMES = ["n_enc_state", "n_enc_layer", "n_enc_head",
 
 
 def load_legacy(path: str | Path):
+    import math
+    from dataclasses import replace as _rp
     f = read_legacy_bin(path, HPARAM_NAMES, has_vocab=False)
     cfg = SamConfig(f.hparams["n_enc_state"], f.hparams["n_enc_layer"],
                     f.hparams["n_enc_head"], f.hparams["n_enc_out_chans"],
@@ -79,7 +81,13 @@ def load_legacy(path: str | Path):
         return jnp.asarray(codecs.dequantize(x.data, x.ggml_type,
                                              shape=tuple(reversed(x.shape))))
 
-    E, I = cfg.n_enc_state, cfg.n_img_embd
+    # image size is not in the header (the reference hardcodes 1024); derive
+    # the grid from the stored positional embedding so reduced checkpoints
+    # (tests) load too
+    E = cfg.n_enc_state
+    n_pe = f.tensors["image_encoder.pos_embed"].data.nbytes // 4
+    I = int(math.isqrt(n_pe // E))
+    cfg = _rp(cfg, n_img_size=I * cfg.n_patch_size)
     p = {
         "pe": t("image_encoder.pos_embed").reshape(I, I, E),
         "proj_w": t("image_encoder.patch_embed.proj.weight"),

@@ -178,3 +178,89 @@ def test_dtw_path_shape():
     assert match.shape == (n,)
     assert np.all(np.diff(match) >= 0) and match[0] == 0
     np.testing.assert_array_equal(match, 2 * np.arange(n))  # follows diagonal
+
+
+def test_whisper_legacy_bin_loader_roundtrip(tmp_path):
+    """Write a tiny whisper .bin (magic, 11 hparams, mel filters, vocab,
+    tensors — whisper.cpp:1320-1750 layout) from HF-mapped params and load
+    it back through whisper.load_legacy."""
+    import struct
+    from ggml_imax_tpu.quant import codecs
+    from ggml_imax_tpu.quant.formats import GGMLType
+
+    _, _, cfg, params = tiny_pair(seed=8)
+    buf = bytearray()
+    buf += struct.pack("<I", 0x67676D6C)
+    buf += struct.pack("<11i", cfg.n_vocab, cfg.n_audio_ctx,
+                       cfg.n_audio_state, cfg.n_audio_head,
+                       cfg.n_audio_layer, cfg.n_text_ctx, cfg.n_text_state,
+                       cfg.n_text_head, cfg.n_text_layer, cfg.n_mels, 0)
+    filters = np.linspace(0, 1, cfg.n_mels * 201, dtype=np.float32)
+    buf += struct.pack("<2i", cfg.n_mels, 201)
+    buf += filters.tobytes()
+    vocab = [f"t{i}".encode() for i in range(cfg.n_vocab)]
+    buf += struct.pack("<i", len(vocab))
+    for v in vocab:
+        buf += struct.pack("<I", len(v)) + v
+
+    def add(name, arr):
+        a = np.ascontiguousarray(np.asarray(arr, np.float32))
+        ne = tuple(reversed(a.shape))
+        nb = name.encode()
+        hdr = struct.pack("<3i", len(ne), len(nb), int(GGMLType.F32))
+        return hdr + b"".join(struct.pack("<i", d) for d in ne) + nb + a.tobytes()
+
+    def qt2np(qt):
+        from ggml_imax_tpu.quant.device import dequantize_qtensor
+        return dequantize_qtensor(qt).T          # back to (N rows, K)
+
+    out = b""
+    out += add("encoder.positional_embedding", np.asarray(params["e_pe"]))
+    out += add("encoder.conv1.weight", np.asarray(params["e_conv1_w"]))
+    out += add("encoder.conv1.bias", np.asarray(params["e_conv1_b"]).reshape(-1))
+    out += add("encoder.conv2.weight", np.asarray(params["e_conv2_w"]))
+    out += add("encoder.conv2.bias", np.asarray(params["e_conv2_b"]).reshape(-1))
+    out += add("encoder.ln_post.weight", np.asarray(params["e_ln_g"]))
+    out += add("encoder.ln_post.bias", np.asarray(params["e_ln_b"]))
+    out += add("decoder.token_embedding.weight", qt2np(params["d_te"]))
+    out += add("decoder.positional_embedding", np.asarray(params["d_pe"]))
+    out += add("decoder.ln.weight", np.asarray(params["d_ln_g"]))
+    out += add("decoder.ln.bias", np.asarray(params["d_ln_b"]))
+    enc_map = [("attn_ln.weight", "ln0_g"), ("attn_ln.bias", "ln0_b"),
+               ("attn.query.weight", "q_w"), ("attn.query.bias", "q_b"),
+               ("attn.key.weight", "k_w"), ("attn.value.weight", "v_w"),
+               ("attn.value.bias", "v_b"), ("attn.out.weight", "o_w"),
+               ("attn.out.bias", "o_b"), ("mlp_ln.weight", "ln1_g"),
+               ("mlp_ln.bias", "ln1_b"), ("mlp.0.weight", "mlp0_w"),
+               ("mlp.0.bias", "mlp0_b"), ("mlp.2.weight", "mlp1_w"),
+               ("mlp.2.bias", "mlp1_b")]
+    for i, lp in enumerate(params["enc_layers"]):
+        for fname, key in enc_map:
+            v = lp[key]
+            arr = qt2np(v) if hasattr(v, "kind") else np.asarray(v)
+            out += add(f"encoder.blocks.{i}.{fname}", arr)
+    dec_map = enc_map + [
+        ("cross_attn_ln.weight", "xln_g"), ("cross_attn_ln.bias", "xln_b"),
+        ("cross_attn.query.weight", "xq_w"), ("cross_attn.query.bias", "xq_b"),
+        ("cross_attn.key.weight", "xk_w"), ("cross_attn.value.weight", "xv_w"),
+        ("cross_attn.value.bias", "xv_b"), ("cross_attn.out.weight", "xo_w"),
+        ("cross_attn.out.bias", "xo_b")]
+    for i, lp in enumerate(params["dec_layers"]):
+        for fname, key in dec_map:
+            v = lp[key]
+            arr = qt2np(v) if hasattr(v, "kind") else np.asarray(v)
+            out += add(f"decoder.blocks.{i}.{fname}", arr)
+
+    path = tmp_path / "whisper-tiny.bin"
+    path.write_bytes(bytes(buf) + out)
+
+    cfg2, p2, filt2, vocab2 = W.load_legacy(path)
+    assert cfg2 == cfg
+    np.testing.assert_array_equal(filt2.reshape(-1), filters)
+    assert vocab2[:3] == [b"t0", b"t1", b"t2"]
+
+    rng = np.random.default_rng(2)
+    mel = jnp.asarray(rng.standard_normal((1, 16, 64)).astype(np.float32))
+    e1 = np.asarray(W.encode(cfg, params, mel, compute_dtype=jnp.float32))
+    e2 = np.asarray(W.encode(cfg2, p2, mel, compute_dtype=jnp.float32))
+    np.testing.assert_allclose(e1, e2, rtol=2e-3, atol=2e-3)
