@@ -143,3 +143,52 @@ def test_llama_fused_qkv_matches():
                            jnp.asarray(pos), c2, 0, compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_gptj_legacy_bin_loader(tmp_path):
+    """Round-trip a tiny gpt-j .bin (reference loader name map,
+    gpt-j/main.cpp:96-352) through gptj.load_legacy."""
+    from ggml_imax_tpu.io.legacy_bin import write_legacy_bin
+    from ggml_imax_tpu.quant import codecs
+    rng = np.random.default_rng(4)
+    E, V, C = 64, 96, 32
+    hp = dict(n_vocab=V, n_ctx=C, n_embd=E, n_head=4, n_layer=1, n_rot=16,
+              ftype=0)
+    vocab = [f"w{i}".encode() for i in range(V)]
+
+    def enc(shape_ne):
+        rows = int(np.prod(shape_ne[1:])) if len(shape_ne) > 1 else 1
+        x = (rng.standard_normal((rows, shape_ne[0])) * 0.1).astype(np.float32)
+        return (GGMLType.F32, tuple(shape_ne), x)
+
+    tensors = {
+        "transformer.wte.weight": enc((E, V)),
+        "transformer.ln_f.weight": enc((E,)),
+        "transformer.ln_f.bias": enc((E,)),
+        "lm_head.weight": enc((E, V)),
+        "lm_head.bias": enc((V,)),
+    }
+    p = "transformer.h.0"
+    for name, ne in [("ln_1.weight", (E,)), ("ln_1.bias", (E,)),
+                     ("attn.q_proj.weight", (E, E)),
+                     ("attn.k_proj.weight", (E, E)),
+                     ("attn.v_proj.weight", (E, E)),
+                     ("attn.out_proj.weight", (E, E)),
+                     ("mlp.fc_in.weight", (E, 4 * E)),
+                     ("mlp.fc_in.bias", (4 * E,)),
+                     ("mlp.fc_out.weight", (4 * E, E)),
+                     ("mlp.fc_out.bias", (E,))]:
+        tensors[f"{p}.{name}"] = enc(ne)
+    path = tmp_path / "gptj-tiny.bin"
+    write_legacy_bin(path, hp, gptj.HPARAM_NAMES, vocab, tensors)
+
+    cfg, params, tok = gptj.load_legacy(path)
+    assert cfg.n_embd == E and cfg.n_rot == 16 and len(params["layers"]) == 1
+    assert tok.decode([5]) == "w5"          # vocab round-trip via ids
+    cache = gptj.init_cache(cfg, dtype=jnp.float32)
+    toks = jnp.asarray([[1, 2, 3]], jnp.int32)
+    pos = jnp.arange(3, dtype=jnp.int32)[None]
+    logits, _ = gptj.forward(cfg, params, toks, pos, cache, 0,
+                             compute_dtype=jnp.float32)
+    assert logits.shape == (1, 3, V)
+    assert np.isfinite(np.asarray(logits)).all()

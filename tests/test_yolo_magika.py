@@ -106,3 +106,30 @@ def test_magika_file_tokens_padding():
     assert toks[2] == magika.PAD_TOKEN               # beg padding
     assert toks[-1] == ord("B") and toks[-2] == ord("A")   # end window
     assert (toks == magika.PAD_TOKEN).sum() == 1536 - 4 - 2  # mid contains AB
+
+
+def test_magika_gguf_loader(tmp_path, rng):
+    from ggml_imax_tpu.io.gguf import GGUFWriter
+    from ggml_imax_tpu.quant.formats import GGMLType
+    params = magika.synthetic_params(rng)
+    w = GGUFWriter(tmp_path / "magika.gguf")
+    names = {
+        "dense_w": "dense/kernel:0", "dense_b": "dense/bias:0",
+        "ln_g": "layer_normalization/gamma:0",
+        "ln_b": "layer_normalization/beta:0",
+        "dense1_w": "dense_1/kernel:0", "dense1_b": "dense_1/bias:0",
+        "dense2_w": "dense_2/kernel:0", "dense2_b": "dense_2/bias:0",
+        "ln1_g": "layer_normalization_1/gamma:0",
+        "ln1_b": "layer_normalization_1/beta:0",
+        "label_w": "target_label/kernel:0", "label_b": "target_label/bias:0",
+    }
+    for k, n in names.items():
+        a = np.asarray(params[k], np.float32)
+        w.add_tensor(n, a, GGMLType.F32, shape=tuple(reversed(a.shape)))
+    w.write()
+    p2 = magika.load_gguf(tmp_path / "magika.gguf")
+    toks = magika.file_tokens(b"#!/bin/sh\n")
+    import jax.numpy as jnp
+    a = np.asarray(magika.forward(params, jnp.asarray(toks[None])))
+    b = np.asarray(magika.forward(p2, jnp.asarray(toks[None])))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
