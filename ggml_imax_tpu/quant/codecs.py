@@ -366,6 +366,71 @@ def _make_qx_quants(x: np.ndarray, nmax: int, qw: np.ndarray | None = None
     return scale, L.astype(np.int32)
 
 
+def _make_qp_quants(x: np.ndarray, nmax: int, qw: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Non-negative [0, nmax] quantizer with weighted-MSE scale search and a
+    greedy per-element refinement (ggml make_qp_quants, ggml-quants.c:1579).
+    Used by the imatrix-aware K-quant super-scale encoders. x, qw: (nb, n),
+    x >= 0. Returns (scale, L int32)."""
+    nb, n = x.shape
+    mx = x.max(axis=1)
+    dead = mx == 0
+    mx_safe = np.where(dead, f32(1.0), mx)
+
+    iscale = (f32(nmax) / mx_safe).astype(f32)
+    L0 = _nearest_int(iscale[:, None] * x)          # first trial: no clip
+    diff = x - _safe_inv(iscale)[:, None] * L0.astype(f32)
+    best_mse = _seqsum(qw * diff * diff)
+    best_iscale = iscale
+    for is_ in range(-4, 5):
+        if is_ == 0:
+            continue
+        isc = ((f32(0.1) * f32(is_) + f32(nmax)) / mx_safe).astype(f32)
+        l = np.minimum(nmax, _nearest_int(isc[:, None] * x)).astype(f32)
+        diff = x - _safe_inv(isc)[:, None] * l
+        mse = _seqsum(qw * diff * diff)
+        better = mse < best_mse
+        best_mse = np.where(better, mse, best_mse)
+        best_iscale = np.where(better, isc, best_iscale).astype(f32)
+
+    L = np.minimum(nmax, _nearest_int(best_iscale[:, None] * x)).astype(np.int32)
+    Lf = L.astype(f32)
+    sumlx = _seqsum(qw * x * Lf)
+    suml2 = _seqsum(qw * Lf * Lf)
+
+    stopped = dead.copy()
+    for _ in range(5):
+        changed = np.zeros(nb, dtype=bool)
+        for i in range(n):
+            w = qw[:, i]
+            xi = x[:, i]
+            Li = L[:, i].astype(f32)
+            slx = sumlx - w * xi * Li
+            sl2 = suml2 - w * Li * Li
+            cond = (slx > 0) & (sl2 > 0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                new_l = np.minimum(nmax, _nearest_int(
+                    np.where(cond, xi * sl2 / np.where(cond, slx, 1), Li)))
+            nlf = new_l.astype(f32)
+            slx2 = slx + w * xi * nlf
+            sl22 = sl2 + w * nlf * nlf
+            apply = (~stopped) & cond & (new_l != L[:, i]) \
+                & (slx2 * slx2 * suml2 > sumlx * sumlx * sl22)
+            L[:, i] = np.where(apply, new_l, L[:, i])
+            sumlx = np.where(apply, slx2, sumlx)
+            suml2 = np.where(apply, sl22, suml2)
+            changed |= apply
+        stopped |= ~changed
+        if stopped.all():
+            break
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scale = (sumlx / suml2).astype(f32)
+    scale = np.where(dead, f32(0.0), scale).astype(f32)
+    L = np.where(dead[:, None], 0, L)
+    return scale, L
+
+
 def _make_q3_quants(x: np.ndarray, nmax: int) -> tuple[np.ndarray, np.ndarray]:
     """do_rmse=true variant with the element-sequential refinement loop
     (ggml make_q3_quants, ggml-quants.c:1173). Vectorized across blocks,
@@ -743,11 +808,16 @@ def dequantize_q5_K(raw: np.ndarray) -> np.ndarray:
 # Q6_K
 # ---------------------------------------------------------------------------
 
-def quantize_q6_K(x: np.ndarray) -> np.ndarray:
+def quantize_q6_K(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """qw (matching x's element count) switches to the imatrix-aware search:
+    quantize_row_q6_K_impl uses the raw imatrix entries as make_qx_quants
+    weights (ggml-quants.c:2766-2800 — no sigma2 mixing for q6_K)."""
     xb = _blocks_in(x, QK_K)
     nb = len(xb)
     xs = xb.reshape(nb * 16, 16)
-    scales, L = _make_qx_quants(xs, 32)
+    scales, L = _make_qx_quants(xs, 32,
+                                None if qw is None else
+                                np.ascontiguousarray(qw, f32).reshape(nb * 16, 16))
     scales = scales.reshape(nb, 16)
     L = L.reshape(nb, QK_K)  # [0, 63]
 
@@ -977,17 +1047,26 @@ def _best_index_iq4nl(x: np.ndarray) -> np.ndarray:
     return idx.astype(np.uint8)
 
 
-def quantize_iq4_nl(x: np.ndarray, ntry: int = 7) -> np.ndarray:
+def quantize_iq4_nl(x: np.ndarray, ntry: int = 7,
+                    qw: np.ndarray | None = None) -> np.ndarray:
     """ntry=7 matches the ggml_quantize_chunk path (quantize_iq4_nl,
     ggml-quants.c:14260+, what model files contain); ntry=-1 matches
     quantize_row_iq4_nl_reference (:14310-14328, no retry/re-index).
-    Reference quirk reproduced: an all-zero block stores d=0 and packs the
-    *previous* block's L scratch buffer (stale stack state); we forward-fill
-    the previous block's indices (zeros if the first block is dead)."""
+    qw enables the imatrix weighting of quantize_row_iq4_nl_impl
+    (ggml-quants.c:14195-14198: weight = qw*sqrt(sigma2 + x^2), sigma2 =
+    2*mean(x^2) over the 32-block). Reference quirk reproduced: an all-zero
+    block stores d=0 and packs the *previous* block's L scratch buffer (stale
+    stack state); we forward-fill the previous block's indices (zeros if the
+    first block is dead)."""
     xb = _blocks_in(x, QK)
     nb = len(xb)
     vals = KVALUES_IQ4NL.astype(f32)
-    w = xb * xb                                       # weight = x^2 (no qw)
+    if qw is None:
+        w = xb * xb                                   # weight = x^2 (no qw)
+    else:
+        qwb = np.ascontiguousarray(qw, f32).reshape(nb, QK)
+        sigma2 = (f32(2.0) / f32(QK) * _seqsum(xb * xb)).astype(f32)
+        w = (qwb * np.sqrt(sigma2[:, None] + xb * xb)).astype(f32)
     mx = _signed_absmax(xb)
     amax = np.abs(mx)
     dead = amax == 0
@@ -1057,11 +1136,13 @@ BLOCK_DTYPES[GGMLType.IQ4_XS] = np.dtype(
 assert BLOCK_DTYPES[GGMLType.IQ4_XS].itemsize == FORMATS[GGMLType.IQ4_XS].type_size
 
 
-def _iq4_block_scale(xb32, ntry=7):
+def _iq4_block_scale(xb32, ntry=7, w=None):
     """Per-32 scale search of quantize_row_iq4_nl_impl (vectorized across
-    blocks): xb32 (nb, 32) -> scales (nb,) f32 (0 for dead blocks)."""
+    blocks): xb32 (nb, 32) -> scales (nb,) f32 (0 for dead blocks). w
+    overrides the default x^2 weights (imatrix path)."""
     vals = KVALUES_IQ4NL.astype(f32)
-    w = xb32 * xb32
+    if w is None:
+        w = xb32 * xb32
     mx = _signed_absmax(xb32)
     amax = np.abs(mx)
     dead = amax == 0
@@ -1087,10 +1168,17 @@ def _iq4_block_scale(xb32, ntry=7):
     return np.where(dead, f32(0.0), d)
 
 
-def quantize_iq4_xs(x: np.ndarray) -> np.ndarray:
+def quantize_iq4_xs(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
     xb = _blocks_in(x, QK_K)
     nb = len(xb)
-    scales = _iq4_block_scale(xb.reshape(nb * 8, 32)).reshape(nb, 8)
+    if qw is None:
+        w = None
+    else:
+        # imatrix weights: sigma2 is per 256-super-block (ggml-quants.c:14184)
+        qwb = np.ascontiguousarray(qw, f32).reshape(nb, QK_K)
+        sigma2 = (f32(2.0) / f32(QK_K) * _seqsum(xb * xb)).astype(f32)
+        w = (qwb * np.sqrt(sigma2[:, None] + xb * xb)).astype(f32).reshape(nb * 8, 32)
+    scales = _iq4_block_scale(xb.reshape(nb * 8, 32), w=w).reshape(nb, 8)
 
     # 6-bit super-scale (ggml-quants.c:14231-14245)
     amax_idx = np.argmax(np.abs(scales), axis=1)
