@@ -136,10 +136,14 @@ class GGUFReader:
         n_kv = cur.read("<q")
 
         self.metadata: dict[str, Any] = {}
+        # wire value-type per key, so a rewrite preserves widths exactly
+        # (typed readers like gguf_get_val_u32 reject widened types)
+        self.metadata_types: dict[str, int] = {}
         for _ in range(n_kv):
             key = cur.read_str()
             vtype = cur.read("<I")
             self.metadata[key] = cur.read_value(vtype)
+            self.metadata_types[key] = vtype
 
         self.alignment = int(self.metadata.get("general.alignment", GGUF_DEFAULT_ALIGNMENT))
 
@@ -225,12 +229,14 @@ class GGUFWriter:
     def __init__(self, path: str | Path, alignment: int = GGUF_DEFAULT_ALIGNMENT):
         self.path = Path(path)
         self.alignment = alignment
-        self._kv: list[tuple[str, Any]] = []
+        self._kv: list[tuple[str, Any, int | None]] = []
         self._tensors: list[tuple[str, tuple[int, ...], GGMLType, np.ndarray]] = []
         self.add_kv("general.alignment", np.uint32(alignment))
 
-    def add_kv(self, key: str, value: Any):
-        self._kv.append((key, value))
+    def add_kv(self, key: str, value: Any, vtype: int | None = None):
+        """vtype pins the wire GGUFValueType (pass GGUFReader.metadata_types
+        entries through on rewrite to keep KV sections byte-stable)."""
+        self._kv.append((key, value, vtype))
 
     def add_tensor(self, name: str, data: np.ndarray, ggml_type: GGMLType,
                    shape: tuple[int, ...] | None = None):
@@ -285,9 +291,13 @@ class GGUFWriter:
             f.write(struct.pack("<IIqq", GGUF_MAGIC, GGUF_VERSION,
                                 len(self._tensors), len(self._kv)))
             # numpy scalar types preserved through add_kv for explicit widths
-            for key, value in self._kv:
+            for key, value, vtype in self._kv:
                 self._write_str(f, key)
-                if isinstance(value, np.integer):
+                if vtype is not None and vtype != GGUFValueType.ARRAY:
+                    if isinstance(value, (np.integer, np.floating)):
+                        value = value.item()
+                    self._write_value(f, value, vtype)
+                elif isinstance(value, np.integer):
                     code = ("u" if value.dtype.kind == "u" else "i") + str(value.dtype.itemsize)
                     self._write_value(f, int(value), _NP_TO_VT[code])
                 elif isinstance(value, np.floating):

@@ -32,6 +32,26 @@ from ..quant.device import QTensor
 
 DEFAULT_BK = 512
 DEFAULT_BN = 1024
+DEFAULT_BM = 512          # m-tile for prefill/large-batch (VMEM-capped)
+
+
+def _m_tiling(m: int) -> tuple[int, int]:
+    """-> (padded_m, bm). Up to DEFAULT_BM rows run as one tile (decode and
+    small prefill, no padding); larger m is split into DEFAULT_BM-row tiles
+    (the analog of the reference's mmq covering all batch sizes,
+    ggml-cuda.cu:1867-1960). Padding rows are zeros and their outputs are
+    sliced away by the caller."""
+    if m <= DEFAULT_BM:
+        return m, m
+    pad = (-m) % DEFAULT_BM
+    return m + pad, DEFAULT_BM
+
+
+def _pad_rows(x2: jax.Array, m_pad: int) -> jax.Array:
+    m = x2.shape[0]
+    if m == m_pad:
+        return x2
+    return jnp.pad(x2, ((0, m_pad - m), (0, 0)))
 
 
 def repack_interleaved(qt: QTensor, bk: int = DEFAULT_BK) -> QTensor:
@@ -169,7 +189,7 @@ def _kernel_noround(has_bias, zero, x_ref, qs_ref, slo_ref, shi_ref, *rest):
         blo_ref, bhi_ref, o_ref, acc_ref = rest
     else:
         o_ref, acc_ref = rest
-    kk = pl.program_id(1)
+    kk = pl.program_id(2)
 
     @pl.when(kk == 0)
     def _():
@@ -188,7 +208,7 @@ def _kernel_noround(has_bias, zero, x_ref, qs_ref, slo_ref, shi_ref, *rest):
     w = jnp.concatenate([wlo, whi], axis=0)             # (BK, BN) plane order
     acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
 
-    @pl.when(kk == pl.num_programs(1) - 1)
+    @pl.when(kk == pl.num_programs(2) - 1)
     def _():
         o_ref[:] = acc_ref[:]
 
@@ -207,7 +227,7 @@ def _kernel_rowpair(has_bias, interpret, *refs):
         x_ref, qs_ref, s_ref, xs_ref, b_ref, o_ref, acc_ref = refs
     else:
         x_ref, qs_ref, s_ref, o_ref, acc_ref = refs
-    kk = pl.program_id(1)
+    kk = pl.program_id(2)
 
     @pl.when(kk == 0)
     def _():
@@ -234,7 +254,7 @@ def _kernel_rowpair(has_bias, interpret, *refs):
             xs_ref[:], b_ref[:], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    @pl.when(kk == pl.num_programs(1) - 1)
+    @pl.when(kk == pl.num_programs(2) - 1)
     def _():
         o_ref[:] = acc_ref[:]
 
@@ -266,43 +286,46 @@ def qmatmul_pallas(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
 
     lead = x.shape[:-1]
     m = int(np.prod(lead)) if lead else 1
-    x2 = x.reshape(m, k).astype(jnp.bfloat16)
+    m_pad, bm = _m_tiling(m)
+    x2 = _pad_rows(x.reshape(m, k).astype(jnp.bfloat16), m_pad)
     xp = _permute_activations(x2, k, bk)
 
     s_lo, s_hi, b_lo, b_hi = _split_scales(qt)
     has_bias = b_lo is not None
     args = [xp, jnp.asarray(qt.q), jnp.asarray(s_lo), jnp.asarray(s_hi)]
     in_specs = [
-        pl.BlockSpec((m, bk), lambda nn, kk: (0, kk), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bk // 2, bn), lambda nn, kk: (kk, nn), memory_space=pltpu.VMEM),
-        pl.BlockSpec((nb, bn), lambda nn, kk: (kk, nn), memory_space=pltpu.VMEM),
-        pl.BlockSpec((nb, bn), lambda nn, kk: (kk, nn), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, bk), lambda mm, nn, kk: (mm, kk), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk // 2, bn), lambda mm, nn, kk: (kk, nn), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, bn), lambda mm, nn, kk: (kk, nn), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, bn), lambda mm, nn, kk: (kk, nn), memory_space=pltpu.VMEM),
     ]
     if has_bias:
         args += [jnp.asarray(b_lo), jnp.asarray(b_hi)]
         in_specs += [
-            pl.BlockSpec((nb, bn), lambda nn, kk: (kk, nn), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, bn), lambda nn, kk: (kk, nn), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, bn), lambda mm, nn, kk: (kk, nn), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, bn), lambda mm, nn, kk: (kk, nn), memory_space=pltpu.VMEM),
         ]
 
     out = pl.pallas_call(
         partial(_kernel_noround, has_bias, qt.zero),
-        grid=(n // bn, k // bk),
+        grid=(m_pad // bm, n // bn, k // bk),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((m, bn), lambda nn, kk: (0, nn), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)],
+        out_specs=pl.BlockSpec((bm, bn), lambda mm, nn, kk: (mm, nn),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * m * k * n,
-            bytes_accessed=k * n // 2 + k // 32 * n * 4 + m * k * 2 + m * n * 4,
+            flops=2 * m_pad * k * n,
+            bytes_accessed=(m_pad // bm) * (k * n // 2 + k // 32 * n * 4)
+            + m_pad * k * 2 + m_pad * n * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(*args)
-    return out.reshape(*lead, n)
+    return out[:m].reshape(*lead, n)
 
 
 def _qmatmul_rowpair(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
@@ -323,48 +346,51 @@ def _qmatmul_rowpair(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
 
     lead = x.shape[:-1]
     m = int(np.prod(lead)) if lead else 1
-    x2 = x.reshape(m, k).astype(jnp.bfloat16)
+    m_pad, bm = _m_tiling(m)
+    x2 = _pad_rows(x.reshape(m, k).astype(jnp.bfloat16), m_pad)
     xp = _permute_activations_rowpair(x2, k, bk)
 
     has_bias = qt.bias is not None
     args = [xp, jnp.asarray(qt.q), jnp.asarray(qt.scale)]
     in_specs = [
-        pl.BlockSpec((m, bk), lambda nn, kk: (0, kk), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bk // 2, bn), lambda nn, kk: (kk, nn),
+        pl.BlockSpec((bm, bk), lambda mm, nn, kk: (mm, kk),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((nb, bn), lambda nn, kk: (kk, nn),
+        pl.BlockSpec((bk // 2, bn), lambda mm, nn, kk: (kk, nn),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, bn), lambda mm, nn, kk: (kk, nn),
                      memory_space=pltpu.VMEM),
     ]
     if has_bias:
         # per-quant-block activation sums (natural block order) for the
         # exact f32 affine term, transposed to (k/32, m) for lane legality
-        xs = x2.astype(jnp.float32).reshape(m, k // 32, 32).sum(axis=-1).T
+        xs = x2.astype(jnp.float32).reshape(m_pad, k // 32, 32).sum(axis=-1).T
         args += [xs, jnp.asarray(qt.bias)]
         in_specs += [
-            pl.BlockSpec((nb, m), lambda nn, kk: (kk, 0),
+            pl.BlockSpec((nb, bm), lambda mm, nn, kk: (kk, mm),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, bn), lambda nn, kk: (kk, nn),
+            pl.BlockSpec((nb, bn), lambda mm, nn, kk: (kk, nn),
                          memory_space=pltpu.VMEM),
         ]
 
     out = pl.pallas_call(
         partial(_kernel_rowpair, has_bias, interpret),
-        grid=(n // bn, k // bk),
+        grid=(m_pad // bm, n // bn, k // bk),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((m, bn), lambda nn, kk: (0, nn),
+        out_specs=pl.BlockSpec((bm, bn), lambda mm, nn, kk: (mm, nn),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
-            flops=2 * m * k * n,
-            bytes_accessed=k * n // 2 + k // 32 * n * 4 * (2 if has_bias else 1)
-            + m * k * 2 + m * n * 4,
+            flops=2 * m_pad * k * n,
+            bytes_accessed=(m_pad // bm)
+            * (k * n // 2 + k // 32 * n * 4 * (2 if has_bias else 1))
+            + m_pad * k * 2 + m_pad * n * 4,
             transcendentals=0),
         interpret=interpret,
     )(*args)
-    return out.reshape(*lead, n)
+    return out[:m].reshape(*lead, n)
 
 
 # ---- int8-kind fused kernel (Q5_0/Q5_1/Q8_0/Q5_K/Q6_K/IQ4_*: weights are
@@ -406,7 +432,7 @@ def _kernel_int8(has_bias, g, *refs):
         x_ref, q_ref, s_ref, xs_ref, b_ref, o_ref, acc_ref = refs
     else:
         x_ref, q_ref, s_ref, o_ref, acc_ref = refs
-    kk = pl.program_id(1)
+    kk = pl.program_id(2)
 
     @pl.when(kk == 0)
     def _():
@@ -420,7 +446,7 @@ def _kernel_int8(has_bias, g, *refs):
             xs_ref[:], b_ref[:], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    @pl.when(kk == pl.num_programs(1) - 1)
+    @pl.when(kk == pl.num_programs(2) - 1)
     def _():
         o_ref[:] = acc_ref[:]
 
@@ -444,42 +470,45 @@ def _qmatmul_int8(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
 
     lead = x.shape[:-1]
     m = int(np.prod(lead)) if lead else 1
-    x2 = x.reshape(m, k).astype(jnp.bfloat16)
+    m_pad, bm = _m_tiling(m)
+    x2 = _pad_rows(x.reshape(m, k).astype(jnp.bfloat16), m_pad)
     xp = _permute_activations_int8(x2, k, bk, g)
 
     has_bias = qt.bias is not None
     args = [xp, jnp.asarray(qt.q), jnp.asarray(qt.scale)]
     in_specs = [
-        pl.BlockSpec((m, bk), lambda nn, kk: (0, kk), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bk, bn), lambda nn, kk: (kk, nn),
+        pl.BlockSpec((bm, bk), lambda mm, nn, kk: (mm, kk),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((nb, bn), lambda nn, kk: (kk, nn),
+        pl.BlockSpec((bk, bn), lambda mm, nn, kk: (kk, nn),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, bn), lambda mm, nn, kk: (kk, nn),
                      memory_space=pltpu.VMEM),
     ]
     if has_bias:
-        xs = x2.astype(jnp.float32).reshape(m, groups, g).sum(axis=-1).T
+        xs = x2.astype(jnp.float32).reshape(m_pad, groups, g).sum(axis=-1).T
         args += [xs, jnp.asarray(qt.bias)]
         in_specs += [
-            pl.BlockSpec((nb, m), lambda nn, kk: (kk, 0),
+            pl.BlockSpec((nb, bm), lambda mm, nn, kk: (kk, mm),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, bn), lambda nn, kk: (kk, nn),
+            pl.BlockSpec((nb, bn), lambda mm, nn, kk: (kk, nn),
                          memory_space=pltpu.VMEM),
         ]
 
     out = pl.pallas_call(
         partial(_kernel_int8, has_bias, g),
-        grid=(n // bn, k // bk),
+        grid=(m_pad // bm, n // bn, k // bk),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((m, bn), lambda nn, kk: (0, nn),
+        out_specs=pl.BlockSpec((bm, bn), lambda mm, nn, kk: (mm, nn),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
-            flops=2 * m * k * n,
-            bytes_accessed=k * n + k // g * n * 4 + m * k * 2 + m * n * 4,
+            flops=2 * m_pad * k * n,
+            bytes_accessed=(m_pad // bm) * (k * n + k // g * n * 4)
+            + m_pad * k * 2 + m_pad * n * 4,
             transcendentals=0),
         interpret=interpret,
     )(*args)
-    return out.reshape(*lead, n)
+    return out[:m].reshape(*lead, n)

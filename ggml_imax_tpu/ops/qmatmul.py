@@ -109,12 +109,13 @@ def qmatmul(x: jax.Array, qt: QTensor, *, compute_dtype=jnp.bfloat16,
     # params_repack_device at load) on a real TPU. Measured (v5e, K=4096
     # N=16384 GEMV): 0.097 ms rowpair vs 0.209 ms dense-bf16 vs 0.390 ms
     # XLA-fused — the mmvq/mmq dispatch of the reference
-    # (ggml-cuda.cu:1867-1960). The kernel also wins at prefill m (the XLA
-    # dequant-fusion re-unpacks weights per output tile; the kernel unpacks
-    # each tile once with all of m resident in VMEM), up to the VMEM cap.
+    # (ggml-cuda.cu:1867-1960). The kernel covers every m (the reference's
+    # mmq does too): up to 512 rows run as one VMEM-resident tile; larger m
+    # is split into 512-row tiles by the kernel's m-grid (pallas_qmm
+    # ._m_tiling), each amortizing its weight stream over 512 rows.
     if (qt.kind in ("nib4", "int8") and qt.interleaved_bk > 0
             and jax.devices()[0].platform == "tpu"
-            and _leading(x) <= 512 and qt.n % 128 == 0):
+            and qt.n % 128 == 0):
         from .pallas_qmm import qmatmul_pallas
         return qmatmul_pallas(x, qt).astype(out_dtype)
     w = dequantize_xla(qt, dtype=compute_dtype)

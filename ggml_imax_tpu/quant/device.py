@@ -56,17 +56,20 @@ class QTensor:
                               # layout (repack_rowpair_device) — adjacent
                               # contraction rows share a byte, values stored
                               # XOR 8 so a signed-int4 bitcast yields q-zero
+    name: str = ""            # stable identity (static pytree aux) — survives
+                              # jit tracing; imatrix collection keys on it
+                              # (llama.cpp's imatrix is name-keyed too)
 
     def tree_flatten(self):
         return (self.q, self.scale, self.bias), (
             self.kind, self.k, self.n, self.ggml_type, self.zero,
-            self.interleaved_bk, self.q4_layout)
+            self.interleaved_bk, self.q4_layout, self.name)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         q, scale, bias = children
-        kind, k, n, t, z, ibk, q4l = aux
-        return cls(kind, q, scale, bias, k, n, t, z, ibk, q4l)
+        kind, k, n, t, z, ibk, q4l, name = aux
+        return cls(kind, q, scale, bias, k, n, t, z, ibk, q4l, name)
 
 
 try:  # register as a pytree so QTensors pass through jit/pjit boundaries

@@ -26,34 +26,62 @@ from .formats import QK, QK_K, GGMLType
 f32 = np.float32
 
 
+def name_params(params, prefix: str = ""):
+    """Assign path-derived names to every QTensor leaf of a params pytree
+    (dicts/lists, the loaders' shape). Names make imatrix collection work
+    through jit (the collector keys on them — llama.cpp's imatrix example
+    keys on tensor names the same way)."""
+    from dataclasses import replace as _replace
+
+    def walk(d, path):
+        if isinstance(d, dict):
+            return {k: walk(v, f"{path}.{k}" if path else k)
+                    for k, v in d.items()}
+        if isinstance(d, list):
+            return [walk(v, f"{path}[{i}]") for i, v in enumerate(d)]
+        if isinstance(d, QTensor) and not d.name:
+            return _replace(d, name=path)
+        return d
+
+    return walk(params, prefix)
+
+
 class ImatrixCollector:
     """Accumulate per-contraction-row activation second moments.
 
     Usage:
         with ImatrixCollector() as col:
-            model.forward(...)            # any number of calls
+            model.forward(...)            # eager OR jitted calls
         imx = col.matrix(params["layers"][0]["q_w"])   # (K,) float32
+
+    Under jit the activation is a tracer at observe time; the collector
+    plants a `jax.debug.callback` so the concrete value is accumulated on
+    the host at run time. Jitted collection requires *named* QTensors
+    (quant.device.QTensor.name, see `name_params`) because Python object
+    identity does not survive tracing; unnamed tensors are collected only
+    in eager calls. The callback stays baked into the compiled function, so
+    it checks `_active` — accumulation stops when the context exits.
     """
 
     def __init__(self):
-        self._sums: dict[int, np.ndarray] = {}
-        self._counts: dict[int, int] = {}
+        self._sums: dict[object, np.ndarray] = {}
+        self._counts: dict[object, int] = {}
+        self._active = False
+        self._warned_unnamed = False
 
     def __enter__(self):
+        self._active = True
         qmm.set_activation_observer(self._observe)
         return self
 
     def __exit__(self, *exc):
+        self._active = False
         qmm.set_activation_observer(None)
 
-    def _observe(self, qt: QTensor, x):
-        # called at trace time inside jit; pull the value via pure_callback
-        # would be heavy — instead observe only concrete (non-traced) calls.
-        import jax
-        if isinstance(x, jax.core.Tracer):
+    def _accumulate(self, key, x):
+        if not self._active:
             return
-        xs = np.asarray(x, dtype=f32).reshape(-1, qt.k)
-        key = id(qt)
+        xs = np.asarray(x, dtype=f32)
         acc = (xs * xs).sum(axis=0)
         if key in self._sums:
             self._sums[key] += acc
@@ -62,11 +90,40 @@ class ImatrixCollector:
             self._sums[key] = acc
             self._counts[key] = xs.shape[0]
 
+    def _observe(self, qt: QTensor, x):
+        import jax
+        if isinstance(x, jax.core.Tracer):
+            if not qt.name:
+                if not self._warned_unnamed:
+                    self._warned_unnamed = True
+                    import warnings
+                    warnings.warn(
+                        "ImatrixCollector: unnamed QTensor inside jit — "
+                        "skipped. Wrap params with quant.imatrix.name_params "
+                        "to collect through jitted forwards.")
+                return
+            key = qt.name
+            jax.debug.callback(
+                lambda v, key=key: self._accumulate(key, v),
+                x.reshape(-1, qt.k))
+            return
+        self._accumulate(qt.name or id(qt), np.asarray(x).reshape(-1, qt.k))
+
     def matrix(self, qt: QTensor) -> np.ndarray | None:
-        key = id(qt)
-        if key not in self._sums:
+        key = qt.name or id(qt)
+        sums = self._sums.get(key)
+        if sums is None and qt.name:
+            sums = self._sums.get(id(qt))
+        if sums is None:
             return None
-        return (self._sums[key] / max(1, self._counts[key])).astype(f32)
+        cnt = self._counts[key if key in self._sums else id(qt)]
+        return (sums / max(1, cnt)).astype(f32)
+
+    def matrices(self) -> dict:
+        """All collected imatrix rows keyed by QTensor name (jit-collected
+        entries always have names)."""
+        return {k: (self._sums[k] / max(1, self._counts[k])).astype(f32)
+                for k in self._sums}
 
 
 def quantize_q4_0_imatrix(x2d: np.ndarray, qw: np.ndarray) -> np.ndarray:

@@ -47,7 +47,9 @@ def requantize_gguf(src: str | Path, dst: str | Path, ttype: GGMLType, *,
                 continue
             if k == "general.file_type":
                 v = int(ttype)
-            w.add_kv(k, v)
+            # preserve each KV's wire type so typed readers
+            # (gguf_get_val_u32 et al.) accept the requantized file
+            w.add_kv(k, v, vtype=r.metadata_types.get(k))
         if "general.file_type" not in r.metadata:
             w.add_kv("general.file_type", int(ttype))
 

@@ -211,3 +211,33 @@ def test_int8_fused_kernel_parity(rng, t):
                                     interpret=True))
     err = np.abs(got - exact).max() / (np.abs(exact).max() + 1e-9)
     assert err < 1.2e-2, (t, err)
+
+
+@pytest.mark.parametrize("layout", ["rowpair", "planes", "int8"])
+def test_m_grid_large_batch_parity(rng, layout):
+    """m > DEFAULT_BM exercises the kernel's m-grid (pad + 512-row tiles) —
+    the reference's mmq covers all batch sizes (ggml-cuda.cu:1867-1960);
+    round 1 capped the fused path at m<=512 and this removes the cap."""
+    import jax.numpy as jnp
+    from ggml_imax_tpu.ops.pallas_qmm import (qmatmul_pallas,
+                                              repack_int8_rows_device,
+                                              repack_interleaved,
+                                              repack_rowpair_device)
+    from ggml_imax_tpu.quant.device import (dequantize_qtensor,
+                                            quantize_for_device)
+    from ggml_imax_tpu.quant.formats import GGMLType
+    K, N = 1024, 256
+    m = 600                                    # not a multiple of 512 or 8
+    t = {"rowpair": GGMLType.Q4_0, "planes": GGMLType.Q2_K,
+         "int8": GGMLType.Q6_K}[layout]
+    w = (rng.standard_normal((K, N)) * 0.3).astype(np.float32)
+    qt = quantize_for_device(w, t)
+    qtr = {"rowpair": lambda: repack_rowpair_device(qt, bk=512),
+           "planes": lambda: repack_interleaved(qt, bk=256),
+           "int8": lambda: repack_int8_rows_device(qt)}[layout]()
+    x = jnp.asarray(rng.standard_normal((m, K)).astype(np.float32))
+    exact = np.asarray(x) @ dequantize_qtensor(qt)
+    got = np.asarray(qmatmul_pallas(x, qtr, interpret=True))
+    assert got.shape == (m, N)
+    err = np.abs(got - exact).max() / (np.abs(exact).max() + 1e-9)
+    assert err < 1.2e-2, (layout, err)

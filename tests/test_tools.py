@@ -3,6 +3,7 @@ perplexity harness, imatrix collection + weighted quantization."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from ggml_imax_tpu.io.gguf import GGUFReader, GGUFWriter
@@ -130,3 +131,45 @@ def test_requantize_legacy_bin(tmp_path, rng):
     deq = codecs.dequantize(f.tensors["l0/w"].data, GGMLType.Q5_0,
                             shape=(4, 64))
     assert np.sqrt(np.mean((deq - x) ** 2)) < 0.08
+
+
+def test_imatrix_collector_under_jit(rng):
+    """VERDICT r1 item 8: collection through a jitted forward must equal
+    eager collection on the same batch (jax.debug.callback path, keyed by
+    QTensor.name via name_params)."""
+    from ggml_imax_tpu.models import gpt2
+    from ggml_imax_tpu.quant.imatrix import ImatrixCollector, name_params
+    cfg = gpt2.GPT2Config(n_vocab=64, n_ctx=32, n_embd=32, n_head=2, n_layer=1)
+    params = name_params(gpt2.synthetic_params(cfg, GGMLType.F32, seed=3))
+    cache = gpt2.init_cache(cfg, batch=1, dtype=jnp.float32)
+    toks = jnp.asarray(rng.integers(0, 64, (1, 8)).astype(np.int32))
+    pos = jnp.arange(8, dtype=jnp.int32)[None]
+
+    fwd = jax.jit(lambda p, t, po, c: gpt2.forward(
+        cfg, p, t, po, c, 0, compute_dtype=jnp.float32))
+
+    with ImatrixCollector() as col_jit:
+        logits, _ = fwd(params, toks, pos, cache)
+        jax.block_until_ready(logits)
+        jax.effects_barrier()
+    with ImatrixCollector() as col_eager:
+        gpt2.forward(cfg, params, toks, pos, cache, 0,
+                     compute_dtype=jnp.float32)
+
+    qt = params["layers"][0]["attn_w"]
+    assert qt.name, "name_params must label QTensor leaves"
+    got = col_jit.matrix(qt)
+    want = col_eager.matrix(qt)
+    assert got is not None and want is not None
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # the jitted sweep collected every named weight
+    assert len(col_jit.matrices()) == len(col_eager.matrices())
+
+    # accumulation stops after the context exits even though the compiled
+    # function retains the baked-in callback
+    before = {k: v.copy() for k, v in col_jit._sums.items()}
+    logits, _ = fwd(params, toks, pos, cache)
+    jax.block_until_ready(logits)
+    jax.effects_barrier()
+    for k in before:
+        np.testing.assert_array_equal(before[k], col_jit._sums[k])
