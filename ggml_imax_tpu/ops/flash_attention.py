@@ -41,13 +41,21 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(scale, softcap, use_mask, use_slope, *refs):
+def _kernel(scale, softcap, use_mask, use_slope, want_lse, *refs):
+    # refs = [inputs..., o_ref, (lse_out), acc, mx, lse] — outputs follow
+    # inputs in out_specs order, scratch last
+    refs = list(refs)
+    lse = refs.pop()
+    mx = refs.pop()
+    acc = refs.pop()
+    lse_out = refs.pop() if want_lse else None
+    o_ref = refs.pop()
     if use_mask and use_slope:
-        q_ref, k_ref, v_ref, m_in_ref, slope_ref, o_ref, acc, mx, lse = refs
+        q_ref, k_ref, v_ref, m_in_ref, slope_ref = refs
     elif use_mask:
-        q_ref, k_ref, v_ref, m_in_ref, o_ref, acc, mx, lse = refs
+        q_ref, k_ref, v_ref, m_in_ref = refs
     else:
-        q_ref, k_ref, v_ref, o_ref, acc, mx, lse = refs
+        q_ref, k_ref, v_ref = refs
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
@@ -82,13 +90,19 @@ def _kernel(scale, softcap, use_mask, use_slope, *refs):
     @pl.when(kk == pl.num_programs(2) - 1)
     def _():
         o_ref[0] = acc[:] / jnp.maximum(lse[:, :1], 1e-30)
+        if want_lse:
+            # L = m + log(l): what the backward needs to rebuild P (l >= 1
+            # always — the row max contributes exp(0)). Stored with q-rows on
+            # sublanes, lane-broadcast to 8 (no relayout on write or read).
+            col = mx[:, :1] + jnp.log(jnp.maximum(lse[:, :1], 1e-30))
+            lse_out[0] = jnp.broadcast_to(col, lse_out.shape[1:])
 
 
 @functools.partial(jax.jit, static_argnames=(
     "scale", "max_bias", "logit_softcap", "out_dtype", "block_q", "block_k",
-    "interpret"))
+    "interpret", "want_lse"))
 def _flash(q, k, v, mask, *, scale, max_bias, logit_softcap, out_dtype,
-           block_q, block_k, interpret):
+           block_q, block_k, interpret, want_lse=False):
     B, Tq, Hq, D = q.shape
     _, Tk, Hkv, _ = k.shape
     rep = Hq // Hkv
@@ -147,13 +161,22 @@ def _flash(q, k, v, mask, *, scale, max_bias, logit_softcap, out_dtype,
                                      memory_space=pltpu.SMEM))
         args.append(slopes)
 
+    out_specs = pl.BlockSpec((1, bq, dpad), lambda bh, qq, kk: (bh, qq, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B * Hq, tq, dpad), jnp.float32)
+    if want_lse:
+        out_specs = [out_specs,
+                     pl.BlockSpec((1, bq, 8), lambda bh, qq, kk: (bh, qq, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((B * Hq, tq, 8), jnp.float32)]
     out = pl.pallas_call(
-        functools.partial(_kernel, scale, logit_softcap, use_mask, use_slope),
+        functools.partial(_kernel, scale, logit_softcap, use_mask, use_slope,
+                          want_lse),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, bq, dpad), lambda bh, qq, kk: (bh, qq, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * Hq, tq, dpad), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((bq, dpad), jnp.float32),
             pltpu.VMEM((bq, _LANE), jnp.float32),
@@ -169,8 +192,45 @@ def _flash(q, k, v, mask, *, scale, max_bias, logit_softcap, out_dtype,
             transcendentals=B * Hq * tq * tk),
         interpret=interpret,
     )(*args)
+    if want_lse:
+        out, lse = out
     out = out.reshape(B, Hq, tq, dpad)[:, :, :Tq, :D]
-    return out.transpose(0, 2, 1, 3).astype(out_dtype)
+    out = out.transpose(0, 2, 1, 3).astype(out_dtype)
+    return (out, lse) if want_lse else out
+
+
+# cfg = (scale, max_bias, logit_softcap, out_dtype, block_q, block_k,
+#        interpret) — hashable, passed as a nondiff arg so jax.grad flows
+# only through q/k/v (and returns a zero cotangent for the mask)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fa(cfg, q, k, v, mask):
+    scale, max_bias, softcap, out_dtype, bq, bk, interp = cfg
+    return _flash(q, k, v, mask, scale=scale, max_bias=max_bias,
+                  logit_softcap=softcap, out_dtype=out_dtype,
+                  block_q=bq, block_k=bk, interpret=interp)
+
+
+def _fa_fwd(cfg, q, k, v, mask):
+    scale, max_bias, softcap, out_dtype, bq, bk, interp = cfg
+    out, lse = _flash(q, k, v, mask, scale=scale, max_bias=max_bias,
+                      logit_softcap=softcap, out_dtype=out_dtype,
+                      block_q=bq, block_k=bk, interpret=interp,
+                      want_lse=True)
+    return out, (q, k, v, mask, out, lse)
+
+
+def _fa_bwd(cfg, res, do):
+    from .flash_backward import flash_attention_bwd
+    scale, max_bias, softcap, out_dtype, bq, bk, interp = cfg
+    q, k, v, mask, out, lse = res
+    dq, dk, dv = flash_attention_bwd(
+        q, k, v, mask, out, lse, do, scale=scale, max_bias=max_bias,
+        logit_softcap=softcap, block_q=bq, block_k=bk, interpret=interp)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return dq, dk, dv, dmask
+
+
+_fa.defvjp(_fa_fwd, _fa_bwd)
 
 
 def flash_attention(q, k, v, mask=None, *, scale: float | None = None,
@@ -180,15 +240,18 @@ def flash_attention(q, k, v, mask=None, *, scale: float | None = None,
     """Drop-in for attention_xla: q (B,Tq,Hq,D), k/v (B,Tk,Hkv,D),
     mask additive broadcastable to (B,1,Tq,Tk). Returns (B,Tq,Hq,D).
     `precision` is accepted for xla-path signature parity and ignored: the
-    kernel always accumulates in f32 (ggml_flash_attn_ext_set_prec analog)."""
+    kernel always accumulates in f32 (ggml_flash_attn_ext_set_prec analog).
+
+    Differentiable: jax.grad runs through the Pallas backward kernels in
+    ops/flash_backward.py (the GGML_OP_FLASH_ATTN_BACK analog,
+    /root/reference/include/ggml/ggml.h:424-512)."""
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     out_dtype = out_dtype or q.dtype
     scale = scale if scale is not None else 1.0 / math.sqrt(q.shape[-1])
-    return _flash(q, k, v, mask, scale=float(scale), max_bias=float(max_bias),
-                  logit_softcap=float(logit_softcap),
-                  out_dtype=jnp.dtype(out_dtype), block_q=block_q,
-                  block_k=block_k, interpret=interpret)
+    cfg = (float(scale), float(max_bias), float(logit_softcap),
+           jnp.dtype(out_dtype), block_q, block_k, interpret)
+    return _fa(cfg, q, k, v, mask)
 
 
 def attention(q, k, v, mask=None, *, impl: str = "auto", **kw):

@@ -95,6 +95,43 @@ def set_activation_observer(fn):
     _activation_observer = fn
 
 
+@jax.custom_vjp
+def _qmm_fused(x: jax.Array, qt: QTensor) -> jax.Array:
+    from .pallas_qmm import qmatmul_pallas
+    return qmatmul_pallas(x, qt)
+
+
+def _qmm_fused_fwd(x, qt):
+    # zero-size carrier keeps x's dtype in the residuals (raw dtypes are not
+    # valid JAX residual types)
+    return _qmm_fused(x, qt), (qt, jnp.zeros((0,), x.dtype))
+
+
+def _qmm_fused_bwd(res, dy):
+    """Dequant-weight VJP: dx = dy @ W^T with W expanded lazily in XLA (the
+    backward analog of the reference's autodiff-through-mul_mat,
+    ggml_compute_backward MUL_MAT adjoint /root/reference/src/ggml.c:18179).
+    Quantized weights are frozen: integer leaves get float0 cotangents,
+    float leaves (scales/bias) zeros."""
+    qt, x_carrier = res
+    w = dequantize_xla(qt, dtype=jnp.bfloat16)            # fused into the dot
+    dx = jnp.matmul(dy.astype(jnp.bfloat16), w.T,
+                    preferred_element_type=jnp.float32).astype(x_carrier.dtype)
+
+    def zero_ct(a):
+        if a is None:
+            return None
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.inexact):
+            return jnp.zeros_like(a)
+        import numpy as _np
+        return _np.zeros(_np.shape(a), jax.dtypes.float0)
+
+    return dx, jax.tree.map(zero_ct, qt)
+
+
+_qmm_fused.defvjp(_qmm_fused_fwd, _qmm_fused_bwd)
+
+
 def qmatmul(x: jax.Array, qt: QTensor, *, compute_dtype=jnp.bfloat16,
             out_dtype=None, precision=None) -> jax.Array:
     """x @ dequant(W). x: (..., K) -> (..., N).
@@ -116,8 +153,7 @@ def qmatmul(x: jax.Array, qt: QTensor, *, compute_dtype=jnp.bfloat16,
     if (qt.kind in ("nib4", "int8") and qt.interleaved_bk > 0
             and jax.devices()[0].platform == "tpu"
             and qt.n % 128 == 0):
-        from .pallas_qmm import qmatmul_pallas
-        return qmatmul_pallas(x, qt).astype(out_dtype)
+        return _qmm_fused(x, qt).astype(out_dtype)
     w = dequantize_xla(qt, dtype=compute_dtype)
     y = jnp.matmul(x.astype(compute_dtype), w,
                    preferred_element_type=jnp.float32, precision=precision)
