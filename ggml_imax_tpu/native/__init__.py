@@ -41,6 +41,26 @@ def _build(src: Path, out: Path) -> bool:
     return True
 
 
+def _load(stem: str, abi_symbol: str):
+    if os.environ.get("GGML_IMAX_TPU_NATIVE", "1") == "0":
+        return None
+    src = _HERE / f"{stem}.cpp"
+    tag = hashlib.sha256(src.read_bytes() + _FLAGS.encode()).hexdigest()[:16]
+    so = _HERE / f"_{stem}_{tag}.so"
+    if not so.exists():
+        tmp = so.with_suffix(".so.tmp")
+        if not _build(src, tmp):
+            return None
+        os.replace(tmp, so)
+    try:
+        cdll = ctypes.CDLL(str(so))
+        if getattr(cdll, abi_symbol)() != 1:
+            return None
+        return cdll
+    except OSError:
+        return None
+
+
 def lib():
     """-> ctypes.CDLL of the codec library, or None (fallback to numpy)."""
     global _LIB, _TRIED
@@ -50,21 +70,27 @@ def lib():
         if _LIB is not None or _TRIED:
             return _LIB
         _TRIED = True
-        if os.environ.get("GGML_IMAX_TPU_NATIVE", "1") == "0":
-            return None
-        src = _HERE / "codecs.cpp"
-        tag = hashlib.sha256(src.read_bytes() + _FLAGS.encode()).hexdigest()[:16]
-        so = _HERE / f"_codecs_{tag}.so"
-        if not so.exists():
-            tmp = so.with_suffix(".so.tmp")
-            if not _build(src, tmp):
-                return None
-            os.replace(tmp, so)
-        try:
-            cdll = ctypes.CDLL(str(so))
-            if cdll.codecs_abi_version() != 1:
-                return None
-            _LIB = cdll
-        except OSError:
-            return None
+        _LIB = _load("codecs", "codecs_abi_version")
         return _LIB
+
+
+_IQ_LIB = None
+_IQ_TRIED = False
+
+
+def iq_lib():
+    """-> ctypes.CDLL of the IQ encoder library (iq_encoders.cpp), or None.
+
+    Separate object from lib(): the IQ grid-search encoders (the analog of
+    quantize_iq2_xxs & siblings, /root/reference/src/ggml-quants.c:12529+)
+    carry their own grid/neighbour state and have no numpy fallback — the
+    searches are inherently sequential."""
+    global _IQ_LIB, _IQ_TRIED
+    if _IQ_LIB is not None or _IQ_TRIED:
+        return _IQ_LIB
+    with _LOCK:
+        if _IQ_LIB is not None or _IQ_TRIED:
+            return _IQ_LIB
+        _IQ_TRIED = True
+        _IQ_LIB = _load("iq_encoders", "iq_abi_version")
+        return _IQ_LIB

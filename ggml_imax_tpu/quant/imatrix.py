@@ -376,12 +376,24 @@ _IMATRIX_QUANTIZERS = {
 }
 
 
+_IQ_CODEBOOK_TYPES = (GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
+                      GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S,
+                      GGMLType.IQ1_M)
+
+
 def quantize_rows(x2d: np.ndarray, t: GGMLType,
                   imatrix: np.ndarray | None = None) -> np.ndarray:
     """ggml_quantize_chunk analog (ggml.c:21594): row-parallel quantization
     with optional importance matrix. Formats without an imatrix-aware path
     (q8_0 and friends) fall back to the plain quantizer, matching the
-    reference."""
+    reference. The codebook IQ formats route to the native grid-search
+    encoders (quant/iq_encode.py, bit-exact vs quantize_iq2_xxs & siblings)."""
+    if t in _IQ_CODEBOOK_TYPES:
+        from .iq_encode import quantize_iq
+        enc = quantize_iq(
+            x2d, t,
+            None if imatrix is None else np.ascontiguousarray(imatrix, f32))
+        return enc.reshape(-1)
     if imatrix is not None:
         fn = _IMATRIX_QUANTIZERS.get(t)
         if fn is not None:
@@ -390,9 +402,7 @@ def quantize_rows(x2d: np.ndarray, t: GGMLType,
 
 
 def quantize_requires_imatrix(t: GGMLType) -> bool:
-    """ggml_quantize_requires_imatrix (ggml.c:21586): true for the codebook
-    IQ formats. IQ2_XXS/IQ2_XS/IQ3_XXS are decode-only here (their k-means
-    grid-search encoders are not implemented)."""
-    return t in (GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
-                 GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S,
-                 GGMLType.IQ1_M)
+    """ggml_quantize_requires_imatrix (/root/reference/src/ggml.c:21586):
+    true for IQ2_XXS/IQ2_XS/IQ1_S (the formats whose encoders have no
+    usable weight heuristic without importance data)."""
+    return t in (GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ1_S)

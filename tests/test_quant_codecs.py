@@ -177,4 +177,7 @@ def test_iq_codebook_dequant_golden(name, t):
     mine = codecs.dequantize(g[f"{name}_bytes"], tt)
     np.testing.assert_array_equal(g[f"{name}_dequant"], mine)
     from ggml_imax_tpu.quant.imatrix import quantize_requires_imatrix
-    assert quantize_requires_imatrix(tt)
+    # reference-exact semantics (ggml.c:21586): only IQ2_XXS/IQ2_XS/IQ1_S
+    # hard-require the imatrix; the others accept qw=None
+    expected = tt.name in ("IQ2_XXS", "IQ2_XS", "IQ1_S")
+    assert quantize_requires_imatrix(tt) == expected

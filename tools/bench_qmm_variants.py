@@ -110,7 +110,7 @@ def _kern_ceiling(q_ref, o_ref, acc_ref):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    acc_ref[:] += q_ref[0:8, :].astype(jnp.float32)
+    acc_ref[:] += q_ref[0:8, :].astype(jnp.int32).astype(jnp.float32)
 
     @pl.when(kk == pl.num_programs(1) - 1)
     def _():
