@@ -28,7 +28,7 @@ _FLAGS = "-O3 -march=native -ffp-contract=off -fopenmp -shared -fPIC -fvisibilit
 
 
 def _build(src: Path, out: Path) -> bool:
-    cmd = ["g++", *_FLAGS.split(), str(src), "-o", str(out)]
+    cmd = ["g++", *_flags().split(), str(src), "-o", str(out)]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
     except (OSError, subprocess.TimeoutExpired):
@@ -41,11 +41,18 @@ def _build(src: Path, out: Path) -> bool:
     return True
 
 
+def _flags() -> str:
+    """Build flags; GGML_IMAX_TPU_NATIVE_FLAGS appends extra ones (the CI
+    sanitizer job adds -fsanitize=address,undefined — ci/run.sh)."""
+    return (_FLAGS + " "
+            + os.environ.get("GGML_IMAX_TPU_NATIVE_FLAGS", "")).strip()
+
+
 def _load(stem: str, abi_symbol: str):
     if os.environ.get("GGML_IMAX_TPU_NATIVE", "1") == "0":
         return None
     src = _HERE / f"{stem}.cpp"
-    tag = hashlib.sha256(src.read_bytes() + _FLAGS.encode()).hexdigest()[:16]
+    tag = hashlib.sha256(src.read_bytes() + _flags().encode()).hexdigest()[:16]
     so = _HERE / f"_{stem}_{tag}.so"
     if not so.exists():
         tmp = so.with_suffix(".so.tmp")

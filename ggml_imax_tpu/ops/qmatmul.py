@@ -86,6 +86,43 @@ def _leading(x) -> int:
 # called as observer(qt, x) on every qmatmul. None = disabled (zero cost).
 _activation_observer = None
 
+# optional activation-quantization simulation for the quality gate
+# (tools/quality_gate.py): "w4a8" reproduces the reference's Q8_0 activation
+# quantization (quantize_row_q8_0, /root/reference/src/ggml-quants.c:440) in
+# value terms before every quantized matmul, so whole-model PPL can be
+# compared between ggml's W4A8 integer-dot math and this repo's W4A16 path.
+_activation_sim = None
+
+
+def set_activation_sim(mode):
+    """None (production) or "w4a8" (ggml vec_dot activation-quant sim)."""
+    global _activation_sim
+    assert mode in (None, "w4a8"), mode
+    _activation_sim = mode
+
+
+def _q8_0_sim(x):
+    """Per-32 symmetric int8 round-trip, d = amax/127 (quantize_row_q8_0
+    semantics; jnp.round is round-half-even vs the reference's roundf —
+    half-integer quotients are measure-zero on real activations)."""
+    lead = x.shape[:-1]
+    xr = x.astype(jnp.float32).reshape(*lead, -1, 32)
+    amax = jnp.max(jnp.abs(xr), axis=-1, keepdims=True)
+    d = amax / 127.0
+    q = jnp.where(d > 0, jnp.round(xr / jnp.where(d > 0, d, 1.0)), 0.0)
+    return (q * d).reshape(x.shape)
+
+
+# dryrun/test hook: route interleaved QTensors through the fused Pallas path
+# even off-TPU (the kernels run in interpret mode there). Lets the multichip
+# dryrun prove the repacked layouts + GSPMD shardings compose without chips.
+_force_fused = False
+
+
+def set_force_fused(enable: bool):
+    global _force_fused
+    _force_fused = bool(enable)
+
 
 def set_activation_observer(fn):
     """Install/remove (None) the qmatmul activation observer. Used by
@@ -142,6 +179,8 @@ def qmatmul(x: jax.Array, qt: QTensor, *, compute_dtype=jnp.bfloat16,
     out_dtype = out_dtype or x.dtype
     if _activation_observer is not None:
         _activation_observer(qt, x)
+    if _activation_sim == "w4a8" and qt.kind != "dense":
+        x = _q8_0_sim(x)
     # fused-kernel fast path: block-interleaved weights (repack_interleaved /
     # params_repack_device at load) on a real TPU. Measured (v5e, K=4096
     # N=16384 GEMV): 0.097 ms rowpair vs 0.209 ms dense-bf16 vs 0.390 ms
@@ -151,7 +190,7 @@ def qmatmul(x: jax.Array, qt: QTensor, *, compute_dtype=jnp.bfloat16,
     # is split into 512-row tiles by the kernel's m-grid (pallas_qmm
     # ._m_tiling), each amortizing its weight stream over 512 rows.
     if (qt.kind in ("nib4", "int8") and qt.interleaved_bk > 0
-            and jax.devices()[0].platform == "tpu"
+            and (jax.devices()[0].platform == "tpu" or _force_fused)
             and qt.n % 128 == 0):
         return _qmm_fused(x, qt).astype(out_dtype)
     w = dequantize_xla(qt, dtype=compute_dtype)

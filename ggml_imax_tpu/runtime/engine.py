@@ -83,6 +83,41 @@ class Engine:
                                         n_past, compute_dtype=compute_dtype)
         self._step = jax.jit(fwd, donate_argnums=donate)
         self._compiled_shapes: set = set()
+        self._fwd = fwd
+        self._chunk_steps: dict = {}
+
+    def _chunk_step(self, chunk: int, top_k: int, top_p: float):
+        """Compiled `chunk`-token decode loop with on-device sampling: one
+        dispatch + ONE tiny host fetch per `chunk` tokens. Over a tunneled
+        host<->device link the per-token fetch of the plain loop costs a full
+        round trip (~36 ms measured); this amortizes it chunk-fold."""
+        key3 = (chunk, top_k, top_p)
+        if key3 in self._chunk_steps:
+            return self._chunk_steps[key3]
+        fwd = self._fwd
+
+        def run(params, cache, tok, n_past, key, temp):
+            # tok: (B,) int32, n_past: () int32, temp: () f32
+            def body(carry, _):
+                cache, tok, n_past, key = carry
+                pos = jnp.broadcast_to(n_past, (tok.shape[0], 1)
+                                       ).astype(jnp.int32)
+                logits, cache = fwd(params, tok[:, None], pos, cache, n_past)
+                key, sub = jax.random.split(key)
+                lg = logits[:, 0].astype(jnp.float32)
+                greedy = jnp.argmax(lg, -1).astype(jnp.int32)
+                drawn = sample_device(lg, sub, top_k=top_k, top_p=top_p,
+                                      temp=jnp.maximum(temp, 1e-6))
+                nxt = jnp.where(temp <= 0, greedy, drawn).astype(jnp.int32)
+                return (cache, nxt, n_past + 1, key), nxt
+
+            (cache, _, _, _), toks = jax.lax.scan(
+                body, (cache, tok, n_past, key), None, length=chunk)
+            return toks, cache          # toks: (chunk, B)
+
+        f = jax.jit(run, donate_argnums=(1,))
+        self._chunk_steps[key3] = f
+        return f
 
     def new_cache(self):
         return self.model.init_cache(self.cfg, batch=self.batch,
@@ -123,27 +158,62 @@ class Engine:
     def generate(self, prompt_tokens, n_predict: int, *, top_k: int = 40,
                  top_p: float = 0.9, temp: float = 0.9, seed: int = 0,
                  eos_id: int | None = None,
-                 callback: Callable[[int], None] | None = None) -> list[int]:
-        """Single-sequence generation (batch=1), reference-CLI semantics."""
+                 callback: Callable[[int], None] | None = None,
+                 chunk: int = 1) -> list[int]:
+        """Single-sequence generation (batch=1), reference-CLI semantics.
+
+        chunk > 1 runs the decode loop on device in compiled `chunk`-token
+        spans with on-device sampling (ops/sampling.sample_device) — one host
+        round trip per span instead of per token. The callback then fires in
+        bursts after each span, and an eos mid-span costs at most chunk-1
+        wasted (correct, discarded) steps."""
         rng = np.random.default_rng(seed)
         cache = self.new_cache()
         tokens = list(map(int, prompt_tokens))
         logits, cache = self.prefill(cache, np.asarray([tokens], np.int32))
         out = []
         n_past = len(tokens)
-        for _ in range(n_predict):
-            if temp <= 0:
-                tok = sample_greedy(logits[0])
+        # first token always samples on host from the prefill logits
+        if temp <= 0:
+            tok = sample_greedy(logits[0])
+        else:
+            tok = sample_host(logits[0], top_k=top_k, top_p=top_p,
+                              temp=temp, rng=rng)
+        out.append(tok)
+        if callback:
+            callback(tok)
+        key = jax.random.key(seed)
+        while len(out) < n_predict and n_past < self.n_ctx:
+            if not (eos_id is None or out[-1] != eos_id):
+                break
+            span = min(chunk, n_predict - len(out), self.n_ctx - n_past)
+            if span >= 2:
+                step = self._chunk_step(span, top_k, top_p)
+                key, sub = jax.random.split(key)
+                t0 = time.perf_counter()
+                toks, cache = step(self.params, cache,
+                                   jnp.asarray([out[-1]], jnp.int32),
+                                   jnp.int32(n_past), sub, jnp.float32(temp))
+                ids = np.asarray(toks)[:, 0]        # one fetch per span
+                self.perf.decode_us += (time.perf_counter() - t0) * 1e6
+                self.perf.n_decode += span
+                n_past += span
+                for tok in map(int, ids):
+                    out.append(tok)
+                    if callback:
+                        callback(tok)
+                    if eos_id is not None and tok == eos_id:
+                        return out
             else:
-                tok = sample_host(logits[0], top_k=top_k, top_p=top_p,
-                                  temp=temp, rng=rng)
-            out.append(tok)
-            if callback:
-                callback(tok)
-            if eos_id is not None and tok == eos_id:
-                break
-            if n_past >= self.n_ctx:
-                break
-            logits, cache = self.decode_step(cache, np.asarray([tok]), n_past)
-            n_past += 1
+                logits, cache = self.decode_step(
+                    cache, np.asarray([out[-1]]), n_past)
+                n_past += 1
+                if temp <= 0:
+                    tok = sample_greedy(logits[0])
+                else:
+                    tok = sample_host(logits[0], top_k=top_k, top_p=top_p,
+                                      temp=temp, rng=rng)
+                out.append(tok)
+                if callback:
+                    callback(tok)
         return out

@@ -123,3 +123,30 @@ def test_batched_on_device_sampling_stochastic(tiny):
     rid = be.add_request([3, 14], 6, temp=0.9)
     out = be.run()[rid]
     assert len(out) == 6 and all(0 <= t < cfg.n_vocab for t in out)
+
+
+def test_chunked_device_generate_matches_per_token(tiny):
+    """Engine.generate(chunk=N) runs the decode loop on device (lax.scan +
+    on-device sampling, one host fetch per span); greedy output must equal
+    the per-token host loop exactly."""
+    cfg, params = tiny
+    prompt = [3, 14, 15, 92, 6]
+    eng = Engine(gpt2, cfg, params, compute_dtype=jnp.float32,
+                 kv_dtype=jnp.float32)
+    ref = eng.generate(prompt, 9, temp=0.0)
+    got = eng.generate(prompt, 9, temp=0.0, chunk=4)
+    assert got == ref, (got, ref)
+
+
+def test_chunked_device_generate_eos_and_ctx(tiny):
+    """eos inside a span truncates; output never exceeds n_predict and the
+    loop respects n_ctx."""
+    cfg, params = tiny
+    prompt = [3, 14, 15]
+    eng = Engine(gpt2, cfg, params, compute_dtype=jnp.float32,
+                 kv_dtype=jnp.float32)
+    ref = eng.generate(prompt, 12, temp=0.0)
+    eos = ref[5]
+    got = eng.generate(prompt, 12, temp=0.0, chunk=5, eos_id=eos)
+    want = ref[:ref.index(eos) + 1]
+    assert got == want, (got, want)

@@ -1,0 +1,275 @@
+#!/usr/bin/env python
+"""Quantization quality gate: whole-model PPL delta + logits KL per format.
+
+BASELINE.md's north star includes "PPL delta <= ggml's Q4_0-vs-F16 gap".
+The sandbox has no network egress, so no real checkpoint exists; this is the
+documented proxy (VERDICT round-1, item 4):
+
+1. Train a small GPT-2 on a deterministic synthetic language (order-2 sparse
+   Markov chain) until it has real predictive structure (PPL far below the
+   uniform baseline), so quantization damage is measurable.
+2. Requantize the trained weights to every encodable format with the repo's
+   bit-exact encoders (identical weight distortion to ggml by construction).
+3. Measure held-out PPL and mean logits-KL vs the F16 baseline through:
+     - this repo's compute path (bf16 operands, f32 accumulate), and
+     - a simulation of ggml's W4A8 integer-dot math (per-32 Q8_0 activation
+       quantization before every quantized matmul — quantize_row_q8_0,
+       /root/reference/src/ggml-quants.c:440, the INIT phase of
+       ggml_compute_forward_mul_mat ggml.c:11952).
+   Same weights + the gate: our PPL delta must be <= the ggml-sim delta
+   (our W4A16 reads the same 4-bit weight stream at higher activation
+   precision, so this should hold with margin).
+
+Writes docs/QUALITY.md. Run: python tools/quality_gate.py [--fast]
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")   # deterministic, tunnel-free
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parents[1] / ".jax_cache"))
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+import optax  # noqa: E402
+
+from ggml_imax_tpu.models import gpt2  # noqa: E402
+import importlib  # noqa: E402
+qmm = importlib.import_module("ggml_imax_tpu.ops.qmatmul")  # noqa: E402
+from ggml_imax_tpu.quant.device import (dequantize_qtensor,  # noqa: E402
+                                        quantize_for_device)
+from ggml_imax_tpu.quant.formats import GGMLType  # noqa: E402
+from ggml_imax_tpu.quant.imatrix import quantize_rows  # noqa: E402
+from ggml_imax_tpu.tools.perplexity import perplexity  # noqa: E402
+
+VOCAB, CTX = 64, 256
+
+
+def markov_corpus(n_tokens: int, seed: int = 0) -> np.ndarray:
+    """Order-2 sparse Markov language: each (a, b) context allows 4 successors
+    with a shared Zipf-ish profile. The transition table (the *language*) is
+    pinned to lang-seed 0 so train and held-out corpora sample the same
+    distribution; `seed` varies only the sampled trajectory. Ideal PPL =
+    exp(H) ~ 2.9; uniform = VOCAB."""
+    lang = np.random.default_rng(0)
+    succ = lang.integers(0, VOCAB, size=(VOCAB, VOCAB, 4))
+    probs = np.array([0.6, 0.25, 0.1, 0.05])
+    rng = np.random.default_rng(seed + 1)
+    toks = np.empty(n_tokens, np.int64)
+    toks[0], toks[1] = rng.integers(0, VOCAB), rng.integers(0, VOCAB)
+    choices = rng.choice(4, size=n_tokens, p=probs)
+    for i in range(2, n_tokens):
+        toks[i] = succ[toks[i - 2], toks[i - 1], choices[i]]
+    return toks.astype(np.int32)
+
+
+def train_model(cfg, steps: int, seed: int = 0):
+    params = gpt2.synthetic_params(cfg, GGMLType.F32, seed=seed)
+    corpus = markov_corpus(steps * 8 * CTX // 4 + 10 * CTX, seed=1)
+    sched = optax.warmup_cosine_decay_schedule(0.0, 3e-3, 20, steps, 3e-4)
+    opt = optax.adamw(sched)
+    state = opt.init(params)
+
+    B = 8
+
+    def batch(i):
+        # overlapping windows, cycling through the corpus
+        starts = (np.arange(B) * 977 + i * 4099) % (len(corpus) - CTX - 1)
+        toks = np.stack([corpus[s:s + CTX] for s in starts])
+        tgts = np.stack([corpus[s + 1:s + CTX + 1] for s in starts])
+        return jnp.asarray(toks), jnp.asarray(tgts)
+
+    pos = jnp.broadcast_to(jnp.arange(CTX, dtype=jnp.int32)[None], (B, CTX))
+
+    @jax.jit
+    def step(params, state, toks, tgts):
+        def loss_fn(p):
+            cache = gpt2.init_cache(cfg, batch=B, n_ctx=CTX,
+                                    dtype=jnp.float32)
+            logits, _ = gpt2.forward(cfg, p, toks, pos, cache, 0,
+                                     compute_dtype=jnp.float32)
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(lp, tgts[..., None], axis=-1).mean()
+            return nll
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        upd, state = opt.update(g, state, params)
+        return optax.apply_updates(params, upd), state, loss
+
+    t0 = time.time()
+    for i in range(steps):
+        toks, tgts = batch(i)
+        params, state, loss = step(params, state, toks, tgts)
+        if i % 50 == 0 or i == steps - 1:
+            print(f"# train step {i}: loss {float(loss):.3f} "
+                  f"(ppl {math.exp(float(loss)):.1f}, uniform {VOCAB}) "
+                  f"[{time.time()-t0:.0f}s]", file=sys.stderr)
+    return params
+
+
+def requantize_params(params, t: GGMLType, imatrix: dict | None = None):
+    """All 2-D qmatmul weights -> format t via the bit-exact encoders
+    (block-size permitting); everything else stays f32."""
+    from ggml_imax_tpu.quant.device import QTensor
+
+    def conv(path, x):
+        if not isinstance(x, QTensor) or x.kind != "dense":
+            return x
+        w = np.asarray(x.q, np.float32)           # (K, N)
+        if w.shape[0] % 256 and t.name.endswith(("_K", "XS", "XXS", "_S", "_M")):
+            return x
+        imx = None if imatrix is None else imatrix.get(path)
+        enc = quantize_rows(np.ascontiguousarray(w.T), t, imatrix=imx)
+        return quantize_for_device_from_raw(enc, t, w.shape)
+
+    def quantize_for_device_from_raw(enc, t, shape_kn):
+        from ggml_imax_tpu.quant.device import to_device_format
+        # to_device_format takes ggml ne layout: (ne0=K per row..) our raw is
+        # rows=N, row length=K? quantize_rows got w.T (N rows of K) so the
+        # raw layout equals ggml's (ne0=K, ne1=N)
+        return to_device_format(enc, t, (shape_kn[0], shape_kn[1]))
+
+    def walk(d, path=""):
+        if isinstance(d, dict):
+            return {k: walk(v, f"{path}/{k}") for k, v in d.items()}
+        if isinstance(d, list):
+            return [walk(v, f"{path}/{i}") for i, v in enumerate(d)]
+        return conv(path, d)
+
+    return walk(params)
+
+
+def eval_paths(cfg, params, corpus, *, compute_dtype, label, ref_logits=None):
+    res = perplexity(gpt2, cfg, params, corpus, n_ctx=CTX,
+                     compute_dtype=compute_dtype)
+    # mean KL(ref || this) over one window of logits
+    kl = None
+    if ref_logits is not None:
+        toks = jnp.asarray(corpus[:CTX])[None]
+        pos = jnp.arange(CTX, dtype=jnp.int32)[None]
+        cache = gpt2.init_cache(cfg, batch=1, n_ctx=CTX, dtype=compute_dtype)
+        logits, _ = jax.jit(gpt2.forward, static_argnums=(0,),
+                            static_argnames=("compute_dtype",))(
+            cfg, params, toks, pos, cache, 0, compute_dtype=compute_dtype)
+        lp = jax.nn.log_softmax(logits[0].astype(jnp.float32), -1)
+        rp = jax.nn.log_softmax(ref_logits.astype(jnp.float32), -1)
+        kl = float(jnp.mean(jnp.sum(jnp.exp(rp) * (rp - lp), -1)))
+    return res["ppl"], kl
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true",
+                    help="2-layer model, fewer steps (smoke)")
+    ap.add_argument("--steps", type=int, default=None)
+    args = ap.parse_args()
+
+    cfg = gpt2.GPT2Config(n_vocab=VOCAB, n_ctx=CTX,
+                          n_embd=128 if args.fast else 256,
+                          n_head=4 if args.fast else 8,
+                          n_layer=2 if args.fast else 4)
+    steps = args.steps or (60 if args.fast else 400)
+
+    print(f"# training {cfg.n_layer}L/{cfg.n_embd}E model, {steps} steps",
+          file=sys.stderr)
+    params = train_model(cfg, steps)
+    heldout = markov_corpus(8 * CTX, seed=99)
+
+    # reference logits for KL: f32 dense
+    toks = jnp.asarray(heldout[:CTX])[None]
+    pos = jnp.arange(CTX, dtype=jnp.int32)[None]
+    cache = gpt2.init_cache(cfg, batch=1, n_ctx=CTX, dtype=jnp.float32)
+    ref_logits, _ = gpt2.forward(cfg, params, toks, pos, cache, 0,
+                                 compute_dtype=jnp.float32)
+    ref_logits = ref_logits[0]
+
+    rows = []
+    ppl_f32, _ = eval_paths(cfg, params, heldout,
+                            compute_dtype=jnp.float32, label="f32")
+    ppl_bf16, kl_bf16 = eval_paths(cfg, params, heldout,
+                                   compute_dtype=jnp.bfloat16, label="bf16",
+                                   ref_logits=ref_logits)
+    rows.append(("F32 dense (reference)", ppl_f32, ppl_f32 - ppl_bf16, None))
+    rows.append(("F16/bf16 compute (baseline)", ppl_bf16, ppl_bf16 - ppl_f32,
+                 kl_bf16))
+
+    formats = [GGMLType.Q8_0, GGMLType.Q6_K, GGMLType.Q5_K, GGMLType.Q5_0,
+               GGMLType.Q4_K, GGMLType.Q4_1, GGMLType.Q4_0, GGMLType.IQ4_NL,
+               GGMLType.Q3_K, GGMLType.Q2_K]
+    if args.fast:
+        formats = [GGMLType.Q8_0, GGMLType.Q4_0, GGMLType.Q2_K]
+    ggml_sim_rows = []
+    for t in formats:
+        try:
+            qp = requantize_params(params, t)
+        except Exception as e:
+            print(f"# {t.name}: skipped ({e})", file=sys.stderr)
+            continue
+        ppl, kl = eval_paths(cfg, qp, heldout, compute_dtype=jnp.bfloat16,
+                             label=t.name, ref_logits=ref_logits)
+        rows.append((f"{t.name} (our W4A16 path)", ppl, ppl - ppl_bf16, kl))
+        print(f"# {t.name}: ppl {ppl:.3f} (delta {ppl-ppl_bf16:+.3f}, "
+              f"KL {kl:.2e})", file=sys.stderr)
+        if t in (GGMLType.Q4_0, GGMLType.Q4_K):
+            qmm.set_activation_sim("w4a8")
+            try:
+                ppl_s, kl_s = eval_paths(cfg, qp, heldout,
+                                         compute_dtype=jnp.float32,
+                                         label=f"{t.name}-ggml",
+                                         ref_logits=ref_logits)
+            finally:
+                qmm.set_activation_sim(None)
+            ggml_sim_rows.append((f"{t.name} (ggml W4A8 sim)", ppl_s,
+                                  ppl_s - ppl_bf16, kl_s))
+            print(f"# {t.name} ggml-sim: ppl {ppl_s:.3f} "
+                  f"(delta {ppl_s-ppl_bf16:+.3f})", file=sys.stderr)
+
+    out = Path(__file__).resolve().parents[1] / "docs" / "QUALITY.md"
+    with open(out, "w") as f:
+        f.write(
+            "# Quantization quality gate — whole-model PPL delta / logits KL\n\n"
+            "Produced by `python tools/quality_gate.py` (committed script; "
+            "deterministic seeds; CPU float semantics).\n\n"
+            f"Proxy model: GPT-2 geometry {cfg.n_layer}L x {cfg.n_embd}E x "
+            f"{cfg.n_head}H, vocab {VOCAB}, trained {steps} steps on an "
+            "order-2 sparse Markov language (no real checkpoints are "
+            "obtainable in this sandbox — see the script docstring). "
+            f"Held-out corpus: {len(heldout)} tokens, scoring window "
+            f"{CTX} (llama.cpp convention).\n\n"
+            "Weight distortion is identical to ggml by construction (all "
+            "encoders golden-tested bit-exact vs the compiled reference). "
+            "The gate compares the remaining compute-path error: our "
+            "bf16-operand/f32-accumulate path vs a simulation of ggml's "
+            "W4A8 integer-dot math (Q8_0 activation round-trip before every "
+            "quantized matmul, quantize_row_q8_0 ggml-quants.c:440).\n\n"
+            "| configuration | PPL | delta vs bf16 baseline | mean KL vs f32 |\n"
+            "|---|---|---|---|\n")
+        for name, ppl, d, kl in rows + ggml_sim_rows:
+            kls = "—" if kl is None else f"{kl:.2e}"
+            f.write(f"| {name} | {ppl:.4f} | {d:+.4f} | {kls} |\n")
+        # the gate verdict
+        ours = {n.split(" ")[0]: d for n, _, d, _ in rows}
+        sims = {n.split(" ")[0]: d for n, _, d, _ in ggml_sim_rows}
+        f.write("\n## Gate\n\n")
+        for k in sims:
+            ok = ours[k] <= sims[k] + 1e-6
+            f.write(f"- {k}: our PPL delta {ours[k]:+.4f} vs ggml-W4A8-sim "
+                    f"{sims[k]:+.4f} -> **{'PASS' if ok else 'FAIL'}** "
+                    "(gate: ours <= ggml's gap at the same weights)\n")
+        f.write("\nUniform-random PPL for this vocabulary is "
+                f"{VOCAB}; the trained model's F32 PPL above shows the "
+                "model carries real structure, so the deltas are "
+                "meaningful.\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
