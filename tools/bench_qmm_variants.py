@@ -245,6 +245,61 @@ def run_w4a16_bd(qs, scale, x2, bk, bn, m):
     return out
 
 
+def _kern_w4a8_rp(nb, m, x8_ref, qs_ref, s_ref, dx_ref, o_ref, acc_ref):
+    """w4a8 math over the PRODUCTION rowpair u-order layout: bitcast rows are
+    e-major (row = e*nb + b), so reshape (bk, bn) -> (32, nb, bn) recovers
+    [e, b, :] and one batched dot_general contracts e per block b."""
+    kk = pl.program_id(1)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w8 = pltpu.bitcast(qs_ref[:], jnp.int4).astype(jnp.int8)   # (bk, bn)
+    w8r = w8.reshape(32, nb, w8.shape[-1])
+    acc = acc_ref[:]
+    for b in range(nb):
+        z = jax.lax.dot_general(x8_ref[b], w8r[:, b, :],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        acc = acc + z.astype(jnp.float32) * \
+            (dx_ref[b][:, None] * s_ref[b][None, :])
+    acc_ref[:] = acc
+
+    @pl.when(kk == pl.num_programs(1) - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def run_w4a8_rp(qs_rp, scale, x8t, dxt, bk, bn, m):
+    nb = bk // 32
+    out = pl.pallas_call(
+        partial(_kern_w4a8_rp, nb, m),
+        grid=(N // bn, K // bk),
+        in_specs=[
+            pl.BlockSpec((nb, m, 32), lambda nn, kk: (kk, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda nn, kk: (kk, nn),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, bn), lambda nn, kk: (kk, nn),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, m), lambda nn, kk: (kk, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda nn, kk: (0, nn),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * K * N,
+            bytes_accessed=K * N // 2 + K // 32 * N * 4 + m * K + m * N * 4,
+            transcendentals=0),
+    )(x8t, qs_rp, scale, dxt)
+    return out
+
+
 def _kern_w4a8(nb, m, x8_ref, qs_ref, s_ref, dx_ref, o_ref, acc_ref):
     """ggml vec_dot_q4_0_q8_0 on the MXU: int8 dots per 32-block, f32
     scale-product epilogue. Weights: bitcast + int4->int8 only."""
@@ -356,6 +411,16 @@ def main():
                        lambda s: run_w4a8(qs_nat, scale,
                                           (x8t + s.astype(jnp.int8)), dxt,
                                           bk, bn, m))(),
+                      exp8))
+
+    for bk, bn in [(512, 2048), (1024, 2048), (2048, 2048), (2048, 4096),
+                   (4096, 4096)]:
+        qs_rp = jnp.asarray(pack_rowpair(vals, bk))
+        cases.append((f"w4a8-rp bk={bk} bn={bn}",
+                      (lambda qs_rp=qs_rp, bk=bk, bn=bn:
+                       lambda s: run_w4a8_rp(qs_rp, scale,
+                                             (x8t + s.astype(jnp.int8)), dxt,
+                                             bk, bn, m))(),
                       exp8))
 
     for bk, bn in [(512, 1024), (1024, 2048), (2048, 2048)]:

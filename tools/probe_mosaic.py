@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Probe which in-kernel idioms Mosaic lowers, to pick the production W4A8
+kernel shape. Each probe: compile + correctness at (m=1, K=2048, N=2048),
+one tile. Run on the real TPU."""
+import sys
+from functools import partial
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parents[1] / ".jax_cache"))
+
+K = N = 2048
+NB = K // 32
+rng = np.random.default_rng(0)
+vals = rng.integers(0, 16, size=(K, N), dtype=np.uint8)
+scale = (rng.standard_normal((NB, N)) * 0.01).astype(np.float32)
+x = (rng.standard_normal((1, K)) * 0.5).astype(np.float32)
+
+# natpair packing (natural order, low nibble first), two's complement
+v = vals ^ 8
+qs_nat = jnp.asarray(v[0::2] | (v[1::2] << 4))
+# rowpair u-order packing for this single tile (bk = K)
+vt = (vals ^ 8).reshape(1, NB, 32, N).transpose(0, 2, 1, 3).reshape(K, N)
+qs_rp = jnp.asarray(vt[0::2] | (vt[1::2] << 4))
+
+xr = x.reshape(1, NB, 32)
+amax = np.abs(xr).max(-1)
+d = amax / 127.0
+x8 = np.round(xr / np.where(d > 0, d, 1)[..., None]).astype(np.int8)
+x8 = np.where(d[..., None] > 0, x8, 0)
+exp = np.zeros((1, N), np.float32)
+for b in range(NB):
+    z = x8[:, b].astype(np.int32) @ (vals[32*b:32*(b+1)].astype(np.int32) - 8)
+    exp += z * (d[:, b:b+1] * scale[b][None, :])
+
+x8t = jnp.asarray(x8.transpose(1, 0, 2))     # (NB, 1, 32)
+dxt = jnp.asarray(d.astype(np.float32).T)    # (NB, 1)
+sj = jnp.asarray(scale)
+
+
+def run(name, kern, qs):
+    try:
+        out = pl.pallas_call(
+            kern,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
+        )(x8t, qs, sj, dxt)
+        err = float(np.abs(np.asarray(out) - exp).max() /
+                    (np.abs(exp).max() + 1e-9))
+        print(f"{name:<40} {'OK' if err < 2e-2 else f'ERR {err:.1e}'}")
+    except Exception as e:
+        print(f"{name:<40} FAIL {type(e).__name__}: {str(e)[:110]}")
+
+
+# A: natpair, python loop, contiguous slices (the bench winner)
+def kern_a(x8_ref, qs_ref, s_ref, dx_ref, o_ref):
+    w8 = pltpu.bitcast(qs_ref[:], jnp.int4).astype(jnp.int8)
+    acc = jnp.zeros_like(o_ref)
+    for b in range(NB):
+        z = jax.lax.dot_general(x8_ref[b], w8[32*b:32*(b+1), :],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        acc += z.astype(jnp.float32) * (dx_ref[b][:, None] * s_ref[b][None, :])
+    o_ref[:] = acc
+
+
+# B: rowpair, reshape to (32, NB, N), loop + middle-axis slice
+def kern_b(x8_ref, qs_ref, s_ref, dx_ref, o_ref):
+    w8 = pltpu.bitcast(qs_ref[:], jnp.int4).astype(jnp.int8)
+    w8r = w8.reshape(32, NB, N)
+    acc = jnp.zeros_like(o_ref)
+    for b in range(NB):
+        z = jax.lax.dot_general(x8_ref[b], w8r[:, b, :],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        acc += z.astype(jnp.float32) * (dx_ref[b][:, None] * s_ref[b][None, :])
+    o_ref[:] = acc
+
+
+# C: rowpair, one 3D batched dot_general (crashed in the sweep — confirm)
+def kern_c(x8_ref, qs_ref, s_ref, dx_ref, o_ref):
+    w8 = pltpu.bitcast(qs_ref[:], jnp.int4).astype(jnp.int8)
+    w8r = w8.reshape(32, NB, N)
+    z = jax.lax.dot_general(x8_ref[:], w8r, (((2,), (0,)), ((0,), (1,))),
+                            preferred_element_type=jnp.int32)
+    o_ref[:] = jnp.sum(z.astype(jnp.float32)
+                       * (dx_ref[:][:, :, None] * s_ref[:][:, None, :]),
+                       axis=0)
+
+
+# D: natpair W4A16: reshape (NB,32,N) + scale broadcast + reshape back,
+# one full-tile bf16 dot (would let natpair serve prefill too)
+def kern_d(x8_ref, qs_ref, s_ref, dx_ref, o_ref):
+    w = pltpu.bitcast(qs_ref[:], jnp.int4).astype(jnp.int8).astype(jnp.bfloat16)
+    wr = w.reshape(NB, 32, N) * s_ref[:].astype(jnp.bfloat16)[:, None, :]
+    w2 = wr.reshape(K, N)
+    xq = (x8_ref[:, 0, :].astype(jnp.float32)
+          * dx_ref[:].reshape(NB, 1)).reshape(1, K).astype(jnp.bfloat16)
+    o_ref[:] = jnp.dot(xq, w2, preferred_element_type=jnp.float32)
+
+
+# E: rowpair W4A8 without reshape: strided-ish via dot with masked scale
+# expansion — pltpu.repeat(s) full-tile int dot is impossible; instead do
+# full-tile int8 dot with dx-premultiplied f32 x and per-row scale folded
+# into W via repeat (this is just W4A16 math on int8 MXU path — sanity ref)
+def kern_e(x8_ref, qs_ref, s_ref, dx_ref, o_ref):
+    w = pltpu.bitcast(qs_ref[:], jnp.int4).astype(jnp.int8).astype(jnp.bfloat16)
+    w = w * pltpu.repeat(s_ref[:].astype(jnp.bfloat16), 32, axis=0)
+    xp = (x8_ref[:, 0, :].astype(jnp.float32) * dx_ref[:].reshape(NB, 1))
+    xp = xp.reshape(1, 1, NB, 32).swapaxes(-2, -1).reshape(1, K)
+    o_ref[:] = jnp.dot(xp.astype(jnp.bfloat16), w,
+                       preferred_element_type=jnp.float32)
+
+
+run("A natpair loop-slice int8", kern_a, qs_nat)
+run("B rowpair reshape loop-slice int8", kern_b, qs_rp)
+run("C rowpair reshape batched-dot int8", kern_c, qs_rp)
+run("D natpair reshape-bcast W4A16 fulldot", kern_d, qs_nat)
+run("E rowpair repeat W4A16 fulldot (ref)", kern_e, qs_rp)
