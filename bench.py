@@ -138,12 +138,17 @@ def main():
                                               jnp.arange(n))
             return tok, cache, toks
 
+        # warm up the SAME executable (same static n): on the tunneled
+        # runtime, an executable's FIRST run includes shipping the compiled
+        # binary to the device (measured 280+ ms/step of pure artifact) —
+        # warming a different n warms a different executable
         t0 = time.time()
-        tok, cache, _ = decode_n(params, tok, cache, 0, n=n_warm)
+        tok, cache, _ = decode_n(params, tok, cache, 0, n=n_meas)
         _ = int(tok[0, 0])
-        print(f"# scan warmup (compile): {time.time()-t0:.1f}s", file=sys.stderr)
+        print(f"# scan warmup (compile+first exec): {time.time()-t0:.1f}s",
+              file=sys.stderr)
         t0 = time.perf_counter()
-        tok, cache, _ = decode_n(params, tok, cache, n_warm, n=n_meas)
+        tok, cache, _ = decode_n(params, tok, cache, n_meas, n=n_meas)
         _ = int(tok[0, 0])
         dt = time.perf_counter() - t0
         tok_s = n_meas * batch / dt

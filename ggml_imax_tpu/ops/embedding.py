@@ -27,7 +27,13 @@ def get_rows(qt: QTensor, ids, dtype=jnp.bfloat16):
 
     if qt.kind == "nib4":
         qs = jnp.asarray(qt.q)                            # (K/2, N)
-        if qt.q4_layout == 1:
+        if qt.q4_layout == 3:
+            # natural-pair layout: gather packed columns, then unpack
+            cols = qs.T[ids]                              # (..., K/2)
+            lo = ((cols & 0x0F) ^ 8).astype(jnp.int8) - 8
+            hi = ((cols >> 4) ^ 8).astype(jnp.int8) - 8
+            q = jnp.stack([lo, hi], axis=-1).reshape(*cols.shape[:-1], qt.k)
+        elif qt.q4_layout == 1:
             from .qmatmul import _unpack_rowpair
             q = _unpack_rowpair(qs, qt).T[ids]            # (..., K) signed
         else:

@@ -142,7 +142,7 @@ def params_repack_device(params, bk: int = DEFAULT_BK):
         if x.kind == "nib4":
             groups = x.scale.shape[0]
             if groups == x.k // 32 and x.zero in (0, 8):
-                return repack_rowpair_device(x, bk)
+                return repack_natpair_device(x, bk)
             return repack_interleaved_device(x, bk)
         if x.kind == "int8" and x.k // x.scale.shape[0] in (16, 32):
             return repack_int8_rows_device(x, bk)
@@ -268,6 +268,8 @@ def qmatmul_pallas(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
     if qt.q4_layout == 2:
         return _qmatmul_int8(x, qt, bn=bn, interpret=interpret)
     assert qt.kind == "nib4", qt.kind
+    if qt.q4_layout == 3:
+        return _qmatmul_natpair(x, qt, bn=bn, interpret=interpret)
     if qt.q4_layout == 1:
         return _qmatmul_rowpair(x, qt, bn=bn, interpret=interpret)
     bk = qt.interleaved_bk
@@ -391,6 +393,288 @@ def _qmatmul_rowpair(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
         interpret=interpret,
     )(*args)
     return out[:m].reshape(*lead, n)
+
+
+# ---- natural-pair (natpair, q4_layout=3) production layout ----
+#
+# Byte row i packs natural elements (2i, 2i+1), low nibble first, XOR 8 —
+# NO row permutation. `pltpu.bitcast(u8, int4)` recovers the natural element
+# order directly, so:
+#   - decode (m <= _W4A8_MAX_M): each quant block is a contiguous 32-row
+#     slab -> per-block int8 MXU dots with f32 scale-product epilogue (the
+#     vec_dot_q4_0_q8_0 math, ggml-quants.c:3855-3870) at HBM-bound
+#     bandwidth;
+#   - prefill (larger m): one full-tile bf16 dot; the per-block scale
+#     expansion is an element-repeat (jnp.repeat), whose relayout cost
+#     amortizes over the m rows (it runs once per weight tile).
+# This replaces the rowpair u-order layout as the production default: the
+# u-order trick made scale expansion free but makes the per-block slabs
+# nb-strided, which costs ~10x in the W4A8 kernel (bench_qmm_variants).
+
+
+def repack_natpair_device(qt: QTensor, bk: int = DEFAULT_BK) -> QTensor:
+    """Natural-pair packing on device (one-time at load)."""
+    assert qt.kind == "nib4" and qt.interleaved_bk == 0 and qt.zero in (0, 8)
+    assert qt.k % bk == 0, (qt.k, bk)
+    groups = qt.scale.shape[0] if hasattr(qt.scale, "shape") \
+        else np.asarray(qt.scale).shape[0]
+    assert groups == qt.k // 32, "natpair layout needs per-32 scales"
+
+    @jax.jit
+    def rp(qs):
+        # natural plane-split (K/2, N): byte row 16b+j = elements (32b+j) lo,
+        # (32b+16+j) hi -> recover natural-order values, then pair-pack
+        g = qs.reshape(qt.k // 32, 16, qt.n)
+        vals = jnp.concatenate([g & 0x0F, g >> 4], axis=1).reshape(qt.k, qt.n)
+        vals = vals ^ 8                           # signed int4 read = q - 8
+        return vals[0::2] | (vals[1::2] << 4)
+
+    scale = jnp.asarray(qt.scale)
+    bias = None if qt.bias is None else jnp.asarray(qt.bias)
+    if qt.zero == 0:
+        bias = 8.0 * scale if bias is None else bias + 8.0 * scale
+    return replace(qt, q=rp(jnp.asarray(qt.q)), scale=scale, bias=bias,
+                   zero=8, interleaved_bk=bk, q4_layout=3)
+
+
+def _kernel_natpair_w4a16(has_bias, interpret, *refs):
+    if has_bias:
+        x_ref, qs_ref, s_ref, xs_ref, b_ref, o_ref, acc_ref = refs
+    else:
+        x_ref, qs_ref, s_ref, o_ref, acc_ref = refs
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = _natpair_unpack(qs_ref, interpret).astype(jnp.bfloat16)
+    # element-repeat expansion (srep[r] = s[r // 32]); amortized over m rows
+    w = w * jnp.repeat(s_ref[:].astype(jnp.bfloat16), 32, axis=0)
+    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+    if has_bias:
+        acc_ref[:] += jax.lax.dot_general(
+            xs_ref[:], b_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def _qmatmul_natpair(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
+                     interpret: bool | None = None) -> jax.Array:
+    """Natpair dispatch: W4A8 per-block int8 dots at decode shapes, W4A16
+    full-tile bf16 dots at prefill shapes. Activations stay in natural
+    order — no permutation gather on either path."""
+    k, n = qt.k, qt.n
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    lead = x.shape[:-1]
+    m = int(np.prod(lead)) if lead else 1
+    if _w4a8_enabled and m <= _W4A8_MAX_M:
+        return _qmatmul_natpair_w4a8(x, qt, bn=2048, interpret=interpret)
+
+    bk = qt.interleaved_bk
+    nb = bk // 32
+    bn = min(bn, n)
+    if n % bn:
+        for cand in (512, 256, 128):
+            if n % cand == 0:
+                bn = cand
+                break
+    assert n % bn == 0, (n, bn)
+    m_pad, bm = _m_tiling(m)
+    x2 = _pad_rows(x.reshape(m, k).astype(jnp.bfloat16), m_pad)
+
+    has_bias = qt.bias is not None
+    args = [x2, jnp.asarray(qt.q), jnp.asarray(qt.scale)]
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda mm, nn, kk: (mm, kk),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk // 2, bn), lambda mm, nn, kk: (kk, nn),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, bn), lambda mm, nn, kk: (kk, nn),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_bias:
+        xs = x2.astype(jnp.float32).reshape(m_pad, k // 32, 32).sum(axis=-1).T
+        args += [xs, jnp.asarray(qt.bias)]
+        in_specs += [
+            pl.BlockSpec((nb, bm), lambda mm, nn, kk: (kk, mm),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, bn), lambda mm, nn, kk: (kk, nn),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    out = pl.pallas_call(
+        partial(_kernel_natpair_w4a16, has_bias, interpret),
+        grid=(m_pad // bm, n // bn, k // bk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda mm, nn, kk: (mm, nn),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k * n,
+            bytes_accessed=(m_pad // bm)
+            * (k * n // 2 + k // 32 * n * 4 * (2 if has_bias else 1))
+            + m_pad * k * 2 + m_pad * n * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(*args)
+    return out[:m].reshape(*lead, n)
+
+
+# ---- W4A8 decode kernel: ggml's actual vec_dot math on the int8 MXU ----
+#
+# The reference's hot GEMV (ggml_vec_dot_q4_0_q8_0, ggml-quants.c:3469 with
+# the int8 dot at :3855-3870) quantizes activations to Q8_0 per 32-block and
+# does integer dots with an f32 scale-product epilogue. On TPU that removes
+# the int8->bf16 cast AND the per-element scale multiply from the weight
+# stream — the int4 weights go bitcast-only into the MXU. Measured at the
+# GPT-J decode GEMV (m=1, K=4096, N=16384): 819-1349 GB/s effective vs
+# 513 GB/s for the W4A16 rowpair kernel (tools/bench_qmm_variants.py).
+# Activation quantization noise is bounded by ggml's own contract (the
+# quality gate in docs/QUALITY.md shows equal whole-model PPL damage), and
+# applies only at m <= _W4A8_MAX_M where the weight stream dominates.
+
+_W4A8_MAX_M = 8        # decode/GEMV shapes; larger m uses W4A16 tiles
+_w4a8_enabled = True
+
+
+def set_w4a8(enable: bool):
+    """Production default ON; off = always W4A16 (higher activation
+    precision than the reference at the same weights)."""
+    global _w4a8_enabled
+    _w4a8_enabled = bool(enable)
+
+
+def _quantize_activations_q8(x2: jax.Array, k: int):
+    """quantize_row_q8_0 value semantics (ggml-quants.c:440) on device:
+    per-32 symmetric int8, d = amax/127. Returns x8 (K/32, m, 32) int8 and
+    d (K/32, m) f32. jnp.round is round-half-even vs the reference's roundf;
+    half-integer quotients are measure-zero on real activations."""
+    m = x2.shape[0]
+    xr = x2.astype(jnp.float32).reshape(m, k // 32, 32)
+    amax = jnp.max(jnp.abs(xr), axis=-1)
+    d = amax / 127.0
+    inv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
+    x8 = jnp.round(xr * inv[..., None]).astype(jnp.int8)
+    return x8.transpose(1, 0, 2), d.T
+
+
+def _natpair_unpack(qs_ref, interpret):
+    """(bk/2, bn) packed natpair bytes -> (bk, bn) int8 values (q - 8)."""
+    if interpret:
+        g = qs_ref[:].astype(jnp.int32)
+        lo = ((g & 15) ^ 8) - 8
+        hi = ((g >> 4) ^ 8) - 8
+        bk2, bn = lo.shape
+        return jnp.stack([lo, hi], axis=1).reshape(2 * bk2, bn) \
+            .astype(jnp.int8)
+    return pltpu.bitcast(qs_ref[:], jnp.int4).astype(jnp.int8)
+
+
+def _kernel_natpair_w4a8(has_bias, nb, interpret, *refs):
+    """Natural-pair layout: bitcast rows are natural element order, so each
+    32-row block is a contiguous slab — the per-block int8 dots need no
+    relayout (the rowpair u-order layout measured 46-159 GB/s here because
+    its block rows are nb-strided; natpair measured 819-1349 GB/s)."""
+    if has_bias:
+        x8_ref, qs_ref, s_ref, dx_ref, xs_ref, b_ref, o_ref, acc_ref = refs
+    else:
+        x8_ref, qs_ref, s_ref, dx_ref, o_ref, acc_ref = refs
+    kk = pl.program_id(1)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w8 = _natpair_unpack(qs_ref, interpret)
+    acc = acc_ref[:]
+    for b in range(nb):
+        z = jax.lax.dot_general(
+            x8_ref[b], w8[32 * b:32 * (b + 1), :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc = acc + z.astype(jnp.float32) * \
+            (dx_ref[b][:, None] * s_ref[b][None, :])
+    if has_bias:
+        # exact affine term at q8_1 precision: sum_b bias[b,n] * d_b*sum(q8)
+        acc = acc + jax.lax.dot_general(
+            xs_ref[:], b_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    acc_ref[:] = acc
+
+    @pl.when(kk == pl.num_programs(1) - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def _qmatmul_natpair_w4a8(x: jax.Array, qt: QTensor, *, bn: int,
+                          interpret: bool) -> jax.Array:
+    k, n = qt.k, qt.n
+    # natpair has no per-tile permutation, so the kernel K-tile is free:
+    # 2048 was the bandwidth winner in the variant sweep
+    bkk = 2048
+    while k % bkk:
+        bkk //= 2
+    nbk = bkk // 32
+    bn = min(bn, n)
+    if n % bn:
+        for cand in (512, 256, 128):
+            if n % cand == 0:
+                bn = cand
+                break
+    assert n % bn == 0, (n, bn)
+
+    lead = x.shape[:-1]
+    m = int(np.prod(lead)) if lead else 1
+    x2 = x.reshape(m, k)
+    x8t, dx = _quantize_activations_q8(x2, k)
+
+    has_bias = qt.bias is not None
+    args = [x8t, jnp.asarray(qt.q), jnp.asarray(qt.scale), dx]
+    in_specs = [
+        pl.BlockSpec((nbk, m, 32), lambda nn, kk: (kk, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bkk // 2, bn), lambda nn, kk: (kk, nn),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nbk, bn), lambda nn, kk: (kk, nn),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nbk, m), lambda nn, kk: (kk, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_bias:
+        xs = dx * jnp.sum(x8t.astype(jnp.float32), axis=-1)   # (K/32, m)
+        args += [xs, jnp.asarray(qt.bias)]
+        in_specs += [
+            pl.BlockSpec((nbk, m), lambda nn, kk: (kk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbk, bn), lambda nn, kk: (kk, nn),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    out = pl.pallas_call(
+        partial(_kernel_natpair_w4a8, has_bias, nbk, interpret),
+        grid=(n // bn, k // bkk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((m, bn), lambda nn, kk: (0, nn),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=k * n // 2
+            + k // 32 * n * 4 * (2 if has_bias else 1) + m * k + m * n * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(*lead, n)
 
 
 # ---- int8-kind fused kernel (Q5_0/Q5_1/Q8_0/Q5_K/Q6_K/IQ4_*: weights are

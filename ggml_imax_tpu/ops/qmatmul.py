@@ -8,13 +8,12 @@ TPU-native design:
 - default path: dequantize-in-XLA. The unpack + scale expansion is written so
   XLA fuses it into the matmul's operand read; the MXU consumes bf16 while
   weights travel HBM->VMEM at their quantized width.
-- optional path: a fused Pallas kernel (ops/pallas_qmm.py) with block-
-  interleaved weight layout for maximum decode bandwidth.
-
-Unlike ggml (which quantizes activations to Q8 and does integer dots), the
-TPU path keeps activations in bf16: the MXU natively multiplies bf16 at full
-rate and f32-accumulates, which is strictly more accurate than ggml's W4A8
-while reading the same 4-bit weight stream.
+- fast path: fused Pallas kernels (ops/pallas_qmm.py) over repacked weight
+  layouts. Decode GEMVs run ggml's own W4A8 math (Q8_0 activations +
+  integer MXU dots, vec_dot_q4_0_q8_0) for maximum weight-stream bandwidth;
+  prefill keeps activations bf16 (W4A16, strictly more accurate than the
+  reference at the same weights). The quality gate (docs/QUALITY.md) pins
+  both paths' whole-model PPL damage to the reference's own W4A8 contract.
 """
 from __future__ import annotations
 
@@ -51,7 +50,13 @@ def dequantize_xla(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
 
     if qt.kind == "nib4":
         qs = jnp.asarray(qt.q)                                   # (K/2, N)
-        if qt.q4_layout == 1:
+        if qt.q4_layout == 3:
+            # natural-pair layout (repack_natpair_device): byte row i packs
+            # elements (2i, 2i+1) XOR 8 — no row permutation to undo
+            lo = ((qs & 0x0F) ^ 8).astype(jnp.int8) - 8
+            hi = ((qs >> 4) ^ 8).astype(jnp.int8) - 8
+            q = jnp.stack([lo, hi], axis=1).reshape(qt.k, qt.n)
+        elif qt.q4_layout == 1:
             q = _unpack_rowpair(qs, qt)
         else:
             if qt.interleaved_bk:

@@ -176,15 +176,15 @@ def test_rowpair_kernel_parity(rng, t):
     assert err < 6e-3, (t, err)   # bf16 weight product, f32 affine term
 
 
-def test_params_repack_prefers_rowpair(rng):
+def test_params_repack_layout_choice(rng):
     from ggml_imax_tpu.ops.pallas_qmm import params_repack_device
     from ggml_imax_tpu.quant.device import quantize_for_device
     from ggml_imax_tpu.quant.formats import GGMLType
     w = (rng.standard_normal((1024, 32)) * 0.3).astype(np.float32)
-    p = {"a": quantize_for_device(w, GGMLType.Q4_0),      # per-32 -> rowpair
+    p = {"a": quantize_for_device(w, GGMLType.Q4_0),      # per-32 -> natpair
          "b": quantize_for_device(w, GGMLType.Q2_K)}      # per-16 -> planes
     r = params_repack_device(p)
-    assert r["a"].q4_layout == 1 and r["a"].interleaved_bk > 0
+    assert r["a"].q4_layout == 3 and r["a"].interleaved_bk > 0
     assert r["b"].q4_layout == 0 and r["b"].interleaved_bk > 0
 
 
@@ -241,3 +241,58 @@ def test_m_grid_large_batch_parity(rng, layout):
     assert got.shape == (m, N)
     err = np.abs(got - exact).max() / (np.abs(exact).max() + 1e-9)
     assert err < 1.2e-2, (layout, err)
+
+
+@pytest.mark.parametrize("t", ["Q4_0", "Q4_1"])
+def test_natpair_kernel_parity(rng, t):
+    """Natpair (q4_layout=3) production layout: W4A8 int8-MXU decode path at
+    m<=8 and W4A16 full-tile path at larger m must both match the XLA
+    dequant reference. W4A8 quantizes activations per-32 to int8 (the
+    vec_dot_q4_0_q8_0 math) — its noise is bounded well inside 1e-4 NMSE."""
+    from ggml_imax_tpu.ops.pallas_qmm import (qmatmul_pallas,
+                                              repack_natpair_device,
+                                              set_w4a8)
+    w = (rng.standard_normal((512, 256)) * 0.5).astype(np.float32)
+    qt = quantize_for_device(w, getattr(GGMLType, t))
+    ref_w = dequantize_qtensor(qt)
+    qtn = repack_natpair_device(qt, bk=512)
+    assert qtn.q4_layout == 3
+
+    for m in (1, 4, 64):
+        x = (rng.standard_normal((m, 512)) * 0.5).astype(np.float32)
+        ref = x @ ref_w
+        got = np.asarray(qmatmul_pallas(jnp.asarray(x), qtn))
+        assert nmse(got, ref) < 1e-4, (t, m, nmse(got, ref))
+
+    # W4A16-only mode must also agree at decode shapes
+    set_w4a8(False)
+    try:
+        x = (rng.standard_normal((1, 512)) * 0.5).astype(np.float32)
+        got = np.asarray(qmatmul_pallas(jnp.asarray(x), qtn))
+        assert nmse(got, x @ ref_w) < 1e-5
+    finally:
+        set_w4a8(True)
+
+
+def test_natpair_dequant_and_get_rows(rng):
+    """dequantize_xla and get_rows must decode the natpair layout exactly."""
+    from ggml_imax_tpu.ops.embedding import get_rows
+    from ggml_imax_tpu.ops.qmatmul import dequantize_xla
+    from ggml_imax_tpu.ops.pallas_qmm import repack_natpair_device
+    w = (rng.standard_normal((256, 128)) * 0.5).astype(np.float32)
+    qt = quantize_for_device(w, GGMLType.Q4_0)
+    ref = dequantize_qtensor(qt)
+    qtn = repack_natpair_device(qt, bk=256)
+    got = np.asarray(dequantize_xla(qtn, dtype=jnp.float32))
+    assert np.abs(got - ref).max() < 1e-6
+    ids = jnp.asarray(np.array([0, 5, 127, 3]))
+    rows = np.asarray(get_rows(qtn, ids, dtype=jnp.float32))
+    assert np.abs(rows - ref.T[np.asarray(ids)]).max() < 1e-6
+
+
+def test_params_repack_prefers_natpair(rng):
+    from ggml_imax_tpu.ops.pallas_qmm import params_repack_device
+    w = (rng.standard_normal((512, 256)) * 0.5).astype(np.float32)
+    p = {"a": quantize_for_device(w, GGMLType.Q4_0)}
+    r = params_repack_device(p)
+    assert r["a"].q4_layout == 3 and r["a"].interleaved_bk > 0

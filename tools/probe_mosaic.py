@@ -125,3 +125,55 @@ run("B rowpair reshape loop-slice int8", kern_b, qs_rp)
 run("C rowpair reshape batched-dot int8", kern_c, qs_rp)
 run("D natpair reshape-bcast W4A16 fulldot", kern_d, qs_nat)
 run("E rowpair repeat W4A16 fulldot (ref)", kern_e, qs_rp)
+
+
+# F: natpair W4A16 fulldot with jnp.repeat scale expansion (prefill shape:
+# expansion cost amortizes over m rows)
+def kern_f(x8_ref, qs_ref, s_ref, dx_ref, o_ref):
+    w = pltpu.bitcast(qs_ref[:], jnp.int4).astype(jnp.int8).astype(jnp.bfloat16)
+    w = w * jnp.repeat(s_ref[:].astype(jnp.bfloat16), 32, axis=0)
+    xq = (x8_ref[:, 0, :].astype(jnp.float32)
+          * dx_ref[:].reshape(NB, 1)).reshape(1, K).astype(jnp.bfloat16)
+    o_ref[:] = jnp.dot(xq, w, preferred_element_type=jnp.float32)
+
+
+run("F natpair jnp.repeat W4A16 fulldot", kern_f, qs_nat)
+
+
+# disambiguate: D/E/F all reshaped the x8 input in-kernel; redo with a clean
+# natural-order (1, K) bf16 activation input
+xn = jnp.asarray(x.astype(np.float32))
+exp16 = x @ ((vals.astype(np.int8) - 8).astype(np.float32)
+             * np.repeat(scale, 32, axis=0))
+
+
+def run16(name, kern, qs):
+    try:
+        out = pl.pallas_call(
+            kern,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
+        )(xn.astype(jnp.bfloat16), qs, sj)
+        err = float(np.abs(np.asarray(out) - exp16).max() /
+                    (np.abs(exp16).max() + 1e-9))
+        print(f"{name:<40} {'OK' if err < 2e-2 else f'ERR {err:.1e}'}")
+    except Exception as e:
+        print(f"{name:<40} FAIL {type(e).__name__}: {str(e)[:110]}")
+
+
+def kern_f2(x_ref, qs_ref, s_ref, o_ref):
+    w = pltpu.bitcast(qs_ref[:], jnp.int4).astype(jnp.int8).astype(jnp.bfloat16)
+    w = w * jnp.repeat(s_ref[:].astype(jnp.bfloat16), 32, axis=0)
+    o_ref[:] = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+
+
+def kern_d2(x_ref, qs_ref, s_ref, o_ref):
+    w = pltpu.bitcast(qs_ref[:], jnp.int4).astype(jnp.int8).astype(jnp.bfloat16)
+    wr = w.reshape(NB, 32, N) * s_ref[:].astype(jnp.bfloat16)[:, None, :]
+    o_ref[:] = jnp.dot(x_ref[:], wr.reshape(K, N),
+                       preferred_element_type=jnp.float32)
+
+
+run16("F2 natpair jnp.repeat fulldot cleanx", kern_f2, qs_nat)
+run16("D2 natpair reshape-bcast fulldot cleanx", kern_d2, qs_nat)
