@@ -30,6 +30,13 @@ BASELINE_TOK_S = 8.0  # GPT-J-6B, reference README.md:101 (125 ms/token)
 
 
 def main():
+    import os
+    tiles = os.environ.get("GGML_W4A8_TILES")
+    if tiles:
+        from ggml_imax_tpu.ops.pallas_qmm import set_w4a8_tiles
+        bkk, bn = map(int, tiles.split(","))
+        set_w4a8_tiles(bkk, bn)
+        print(f"# w4a8 tiles: bkk={bkk} bn={bn}", file=sys.stderr)
     small = "--small" in sys.argv
     resident = "bf16" if "--resident=bf16" in sys.argv else "q4"
     batch = 1

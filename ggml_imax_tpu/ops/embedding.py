@@ -48,7 +48,13 @@ def get_rows(qt: QTensor, ids, dtype=jnp.bfloat16):
             hi = (g >> 4).astype(jnp.int8) - qt.zero
             q = jnp.concatenate([lo, hi], axis=-1).reshape(*cols.shape[:-1], qt.k)
     else:
-        q = jnp.asarray(qt.q).T[ids]                      # (..., K)
+        q = jnp.asarray(qt.q)
+        if qt.kind == "int8" and qt.q4_layout == 2:
+            # undo the u-order row permutation (repack_int8_rows_device)
+            bk, grp = qt.interleaved_bk, qt.k // n_groups
+            q = (q.reshape(qt.k // bk, grp, bk // grp, qt.n)
+                 .transpose(0, 2, 1, 3).reshape(qt.k, qt.n))
+        q = q.T[ids]                                      # (..., K)
 
     s = scale.T[ids]                                      # (..., n_groups)
     qg = q.reshape(*q.shape[:-1], n_groups, group).astype(dtype)

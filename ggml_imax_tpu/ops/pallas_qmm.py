@@ -145,7 +145,7 @@ def params_repack_device(params, bk: int = DEFAULT_BK):
                 return repack_natpair_device(x, bk)
             return repack_interleaved_device(x, bk)
         if x.kind == "int8" and x.k // x.scale.shape[0] in (16, 32):
-            return repack_int8_rows_device(x, bk)
+            return repack_nat8_device(x, bk)
         return x
 
     def walk(d):
@@ -265,6 +265,8 @@ def qmatmul_pallas(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
     x: (..., K) bf16/f32 -> (..., N) f32."""
     assert qt.interleaved_bk > 0, \
         "qmatmul_pallas requires repacked weights (params_repack_device)"
+    if qt.q4_layout == 4:
+        return _qmatmul_nat8(x, qt, bn=bn, interpret=interpret)
     if qt.q4_layout == 2:
         return _qmatmul_int8(x, qt, bn=bn, interpret=interpret)
     assert qt.kind == "nib4", qt.kind
@@ -543,6 +545,14 @@ def _qmatmul_natpair(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
 
 _W4A8_MAX_M = 8        # decode/GEMV shapes; larger m uses W4A16 tiles
 _w4a8_enabled = True
+_W4A8_BKK = 2048       # kernel K-tile (spans bkk/32 blocks)
+_W4A8_BN = 2048        # kernel N-tile
+
+
+def set_w4a8_tiles(bkk: int, bn: int):
+    """Tune the W4A8 kernel tiling (tools/bench_hbm.py sweep)."""
+    global _W4A8_BKK, _W4A8_BN
+    _W4A8_BKK, _W4A8_BN = bkk, bn
 
 
 def set_w4a8(enable: bool):
@@ -552,13 +562,15 @@ def set_w4a8(enable: bool):
     _w4a8_enabled = bool(enable)
 
 
-def _quantize_activations_q8(x2: jax.Array, k: int):
+def _quantize_activations_q8(x2: jax.Array, k: int, g: int = 32):
     """quantize_row_q8_0 value semantics (ggml-quants.c:440) on device:
-    per-32 symmetric int8, d = amax/127. Returns x8 (K/32, m, 32) int8 and
-    d (K/32, m) f32. jnp.round is round-half-even vs the reference's roundf;
-    half-integer quotients are measure-zero on real activations."""
+    per-g symmetric int8, d = amax/127 (g=32 for per-32-scale formats; g=16
+    aligns activation blocks with per-16 sub-scale formats). Returns x8
+    (K/g, m, g) int8 and d (K/g, m) f32. jnp.round is round-half-even vs the
+    reference's roundf; half-integer quotients are measure-zero on real
+    activations."""
     m = x2.shape[0]
-    xr = x2.astype(jnp.float32).reshape(m, k // 32, 32)
+    xr = x2.astype(jnp.float32).reshape(m, k // g, g)
     amax = jnp.max(jnp.abs(xr), axis=-1)
     d = amax / 127.0
     inv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
@@ -618,11 +630,11 @@ def _qmatmul_natpair_w4a8(x: jax.Array, qt: QTensor, *, bn: int,
     k, n = qt.k, qt.n
     # natpair has no per-tile permutation, so the kernel K-tile is free:
     # 2048 was the bandwidth winner in the variant sweep
-    bkk = 2048
+    bkk = _W4A8_BKK
     while k % bkk:
         bkk //= 2
     nbk = bkk // 32
-    bn = min(bn, n)
+    bn = min(_W4A8_BN, n)
     if n % bn:
         for cand in (512, 256, 128):
             if n % cand == 0:
@@ -675,6 +687,192 @@ def _qmatmul_natpair_w4a8(x: jax.Array, qt: QTensor, *, bn: int,
         interpret=interpret,
     )(*args)
     return out.reshape(*lead, n)
+
+
+# ---- nat8 (q4_layout=4): natural-order int8 layout for the 8-bit-ish
+# formats (Q5_0/Q5_1/Q8_0/Q5_K/Q6_K/IQ4_*), mirroring natpair: decode runs
+# W8A8 per-block int8 MXU dots (the vec_dot_q8_0_q8_0 math,
+# ggml-quants.c:4334) with no cast and no scale expansion in the weight
+# stream; prefill expands scales with jnp.repeat amortized over m ----
+
+
+def repack_nat8_device(qt: QTensor, bk: int = DEFAULT_BK) -> QTensor:
+    """int8 rows stay in natural order — the 'repack' only moves the arrays
+    to device and tags the layout."""
+    assert qt.kind == "int8" and qt.interleaved_bk == 0
+    assert qt.k % bk == 0, (qt.k, bk)
+    g = qt.k // qt.scale.shape[0]
+    assert g in (16, 32), g
+    return replace(qt, q=jnp.asarray(qt.q), scale=jnp.asarray(qt.scale),
+                   bias=None if qt.bias is None else jnp.asarray(qt.bias),
+                   interleaved_bk=bk, q4_layout=4)
+
+
+def _kernel_nat8_w8a8(has_bias, nb, g, *refs):
+    if has_bias:
+        x8_ref, q_ref, s_ref, dx_ref, xs_ref, b_ref, o_ref, acc_ref = refs
+    else:
+        x8_ref, q_ref, s_ref, dx_ref, o_ref, acc_ref = refs
+    kk = pl.program_id(1)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w8 = q_ref[:]
+    acc = acc_ref[:]
+    for b in range(nb):
+        z = jax.lax.dot_general(
+            x8_ref[b], w8[g * b:g * (b + 1), :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc = acc + z.astype(jnp.float32) * \
+            (dx_ref[b][:, None] * s_ref[b][None, :])
+    if has_bias:
+        acc = acc + jax.lax.dot_general(
+            xs_ref[:], b_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    acc_ref[:] = acc
+
+    @pl.when(kk == pl.num_programs(1) - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def _kernel_nat8_w8a16(has_bias, g, *refs):
+    if has_bias:
+        x_ref, q_ref, s_ref, xs_ref, b_ref, o_ref, acc_ref = refs
+    else:
+        x_ref, q_ref, s_ref, o_ref, acc_ref = refs
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = q_ref[:].astype(jnp.bfloat16) \
+        * jnp.repeat(s_ref[:].astype(jnp.bfloat16), g, axis=0)
+    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+    if has_bias:
+        acc_ref[:] += jax.lax.dot_general(
+            xs_ref[:], b_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def _qmatmul_nat8(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
+                  interpret: bool | None = None) -> jax.Array:
+    k, n = qt.k, qt.n
+    g = k // qt.scale.shape[0]
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    lead = x.shape[:-1]
+    m = int(np.prod(lead)) if lead else 1
+    has_bias = qt.bias is not None
+
+    if _w4a8_enabled and m <= _W4A8_MAX_M:
+        bkk = _W4A8_BKK
+        while k % bkk:
+            bkk //= 2
+        nbk = bkk // g
+        bn8 = min(_W4A8_BN, n)
+        if n % bn8:
+            for cand in (512, 256, 128):
+                if n % cand == 0:
+                    bn8 = cand
+                    break
+        assert n % bn8 == 0, (n, bn8)
+        x2 = x.reshape(m, k)
+        x8t, dx = _quantize_activations_q8(x2, k, g)
+        args = [x8t, qt.q, jnp.asarray(qt.scale), dx]
+        in_specs = [
+            pl.BlockSpec((nbk, m, g), lambda nn, kk: (kk, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bkk, bn8), lambda nn, kk: (kk, nn),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbk, bn8), lambda nn, kk: (kk, nn),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbk, m), lambda nn, kk: (kk, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        if has_bias:
+            xs = dx * jnp.sum(x8t.astype(jnp.float32), axis=-1)
+            args += [xs, jnp.asarray(qt.bias)]
+            in_specs += [
+                pl.BlockSpec((nbk, m), lambda nn, kk: (kk, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nbk, bn8), lambda nn, kk: (kk, nn),
+                             memory_space=pltpu.VMEM),
+            ]
+        out = pl.pallas_call(
+            partial(_kernel_nat8_w8a8, has_bias, nbk, g),
+            grid=(n // bn8, k // bkk),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((m, bn8), lambda nn, kk: (0, nn),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((m, bn8), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * m * k * n,
+                bytes_accessed=k * n + k // g * n * 4 *
+                (2 if has_bias else 1) + m * k + m * n * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(*args)
+        return out.reshape(*lead, n)
+
+    bk = qt.interleaved_bk
+    nb = bk // g
+    bn = min(bn, n)
+    if n % bn:
+        for cand in (512, 256, 128):
+            if n % cand == 0:
+                bn = cand
+                break
+    assert n % bn == 0, (n, bn)
+    m_pad, bm = _m_tiling(m)
+    x2 = _pad_rows(x.reshape(m, k).astype(jnp.bfloat16), m_pad)
+    args = [x2, qt.q, jnp.asarray(qt.scale)]
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda mm, nn, kk: (mm, kk),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk, bn), lambda mm, nn, kk: (kk, nn),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, bn), lambda mm, nn, kk: (kk, nn),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_bias:
+        xs = x2.astype(jnp.float32).reshape(m_pad, k // g, g).sum(axis=-1).T
+        args += [xs, jnp.asarray(qt.bias)]
+        in_specs += [
+            pl.BlockSpec((nb, bm), lambda mm, nn, kk: (kk, mm),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, bn), lambda mm, nn, kk: (kk, nn),
+                         memory_space=pltpu.VMEM),
+        ]
+    out = pl.pallas_call(
+        partial(_kernel_nat8_w8a16, has_bias, g),
+        grid=(m_pad // bm, n // bn, k // bk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda mm, nn, kk: (mm, nn),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k * n,
+            bytes_accessed=(m_pad // bm)
+            * (k * n + k // g * n * 4 * (2 if has_bias else 1))
+            + m_pad * k * 2 + m_pad * n * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(*args)
+    return out[:m].reshape(*lead, n)
 
 
 # ---- int8-kind fused kernel (Q5_0/Q5_1/Q8_0/Q5_K/Q6_K/IQ4_*: weights are

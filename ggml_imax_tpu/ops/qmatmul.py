@@ -70,6 +70,12 @@ def dequantize_xla(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
             q = jnp.concatenate([lo, hi], axis=1).reshape(qt.k, qt.n)
     elif qt.kind == "int8":
         q = jnp.asarray(qt.q)                                    # (K, N) int8
+        if qt.q4_layout == 2:
+            # undo the u-order row permutation (repack_int8_rows_device)
+            bk = qt.interleaved_bk
+            nb = bk // group
+            q = (q.reshape(qt.k // bk, group, nb, qt.n)
+                 .transpose(0, 2, 1, 3).reshape(qt.k, qt.n))
     else:
         raise ValueError(qt.kind)
 

@@ -296,3 +296,39 @@ def test_params_repack_prefers_natpair(rng):
     p = {"a": quantize_for_device(w, GGMLType.Q4_0)}
     r = params_repack_device(p)
     assert r["a"].q4_layout == 3 and r["a"].interleaved_bk > 0
+
+
+@pytest.mark.parametrize("t", ["Q8_0", "Q5_1", "Q6_K"])
+def test_nat8_kernel_parity(rng, t):
+    """nat8 (q4_layout=4) int8-kind layout: W8A8 per-block int8 dots at
+    decode shapes and W8A16 full-tile dots at prefill shapes, both vs the
+    XLA dequant reference."""
+    from ggml_imax_tpu.ops.pallas_qmm import (qmatmul_pallas,
+                                              repack_nat8_device)
+    w = (rng.standard_normal((512, 256)) * 0.5).astype(np.float32)
+    qt = quantize_for_device(w, getattr(GGMLType, t))
+    assert qt.kind == "int8", (t, qt.kind)
+    ref_w = dequantize_qtensor(qt)
+    qtn = repack_nat8_device(qt, bk=512)
+    assert qtn.q4_layout == 4
+    for m in (1, 4, 64):
+        x = (rng.standard_normal((m, 512)) * 0.5).astype(np.float32)
+        got = np.asarray(qmatmul_pallas(jnp.asarray(x), qtn))
+        assert nmse(got, x @ ref_w) < 1e-4, (t, m, nmse(got, x @ ref_w))
+
+
+def test_int8_uorder_dequant_roundtrip(rng):
+    """dequantize_xla and get_rows must undo the u-order layout-2 int8
+    permutation (regression: they previously returned permuted rows)."""
+    from ggml_imax_tpu.ops.embedding import get_rows
+    from ggml_imax_tpu.ops.pallas_qmm import repack_int8_rows_device
+    from ggml_imax_tpu.ops.qmatmul import dequantize_xla
+    w = (rng.standard_normal((512, 128)) * 0.5).astype(np.float32)
+    qt = quantize_for_device(w, GGMLType.Q8_0)
+    ref = dequantize_qtensor(qt)
+    qtu = repack_int8_rows_device(qt, bk=512)
+    got = np.asarray(dequantize_xla(qtu, dtype=jnp.float32))
+    assert np.abs(got - ref).max() < 1e-6
+    ids = jnp.asarray(np.array([0, 7, 127]))
+    rows = np.asarray(get_rows(qtu, ids, dtype=jnp.float32))
+    assert np.abs(rows - ref.T[np.asarray(ids)]).max() < 1e-6

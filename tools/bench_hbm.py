@@ -35,6 +35,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-r", "--reps", type=int, default=8)
     ap.add_argument("-w", "--n-weights", type=int, default=4)
+    ap.add_argument("--sweep", action="store_true",
+                    help="tile + scale-dtype sweep of the W4A8 path")
     args = ap.parse_args()
     NW = args.n_weights
 
@@ -79,6 +81,28 @@ def main():
 
     print(f"# device: {jax.devices()[0].platform}, {NW} weight buffers = "
           f"{NW * GEMV_BYTES / 1e6:.0f} MB working set")
+
+    if "--sweep" in sys.argv:
+        # tile + scale-dtype sweep on the W4A8 path
+        from dataclasses import replace as _rp
+        from ggml_imax_tpu.ops.pallas_qmm import set_w4a8_tiles
+        qts = stage(repack_natpair_device)
+        qts16 = [_rp(q, scale=q.scale.astype(jnp.float16)) for q in qts]
+        jax.block_until_ready(qts16[0].scale)
+        for sdt, qq in (("f32", qts), ("f16", qts16)):
+            nb = GEMV_BYTES if sdt == "f32" else K * N // 2 + K // 32 * N * 2
+            for bkk, bn in [(2048, 1024), (2048, 2048), (2048, 4096)]:
+                set_w4a8_tiles(bkk, bn)
+                try:
+                    dt = timeit(lambda i, s: qmatmul_pallas(x + s, qq[i]),
+                                args.reps)
+                    print(f"w4a8 s={sdt} bkk={bkk} bn={bn}   {dt*1e6:9.1f} us"
+                          f"  {nb/dt/1e9:7.1f} GB/s eff", flush=True)
+                except Exception as e:
+                    print(f"w4a8 s={sdt} bkk={bkk} bn={bn}   FAIL "
+                          f"{str(e)[:90]}", flush=True)
+        set_w4a8_tiles(2048, 2048)
+        return
 
     # natpair W4A8 (production decode path)
     qts = stage(repack_natpair_device)
