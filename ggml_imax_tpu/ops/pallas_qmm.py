@@ -543,7 +543,11 @@ def _qmatmul_natpair(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
 # quality gate in docs/QUALITY.md shows equal whole-model PPL damage), and
 # applies only at m <= _W4A8_MAX_M where the weight stream dominates.
 
-_W4A8_MAX_M = 8        # decode/GEMV shapes; larger m uses W4A16 tiles
+# W4A8 engages only at true GEMV (m=1): its per-block (m, 32) x8 slices
+# relayout badly for m > 1 (measured 724 ms/step at batch=8 vs 9.4 at
+# batch=1), and batched decode amortizes the weight stream over the rows
+# anyway, which is exactly what the W4A16 full-tile path is good at.
+_W4A8_MAX_M = 1
 _w4a8_enabled = True
 _W4A8_BKK = 2048       # kernel K-tile (spans bkk/32 blocks)
 _W4A8_BN = 2048        # kernel N-tile
@@ -606,13 +610,14 @@ def _kernel_natpair_w4a8(has_bias, nb, interpret, *refs):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     w8 = _natpair_unpack(qs_ref, interpret)
+    s_f32 = s_ref[:].astype(jnp.float32)     # scales may be stored f16
     acc = acc_ref[:]
     for b in range(nb):
         z = jax.lax.dot_general(
             x8_ref[b], w8[32 * b:32 * (b + 1), :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
         acc = acc + z.astype(jnp.float32) * \
-            (dx_ref[b][:, None] * s_ref[b][None, :])
+            (dx_ref[b][:, None] * s_f32[b][None, :])
     if has_bias:
         # exact affine term at q8_1 precision: sum_b bias[b,n] * d_b*sum(q8)
         acc = acc + jax.lax.dot_general(
