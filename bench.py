@@ -64,6 +64,10 @@ def main():
         # path too; padded logits get -1e30 bias so argmax never picks them.
         from dataclasses import replace as _rp
         from ggml_imax_tpu.ops.pallas_qmm import params_repack_device
+        sdt = {"bf16": jnp.bfloat16}.get(
+            os.environ.get("GGML_W4A8_SCALE_DTYPE", ""), None)
+        if sdt is not None:
+            print("# scales stored bf16", file=sys.stderr)
         params = gptj.fuse_qkv(params)     # 1 GEMV for q/k/v per layer
         h = params["lmh_w"]
         vpad = (-h.n) % 128
@@ -75,7 +79,7 @@ def main():
                 n=h.n + vpad)
             params["lmh_b"] = jnp.pad(params["lmh_b"], (0, vpad),
                                       constant_values=-1e30)
-        params = params_repack_device(params)
+        params = params_repack_device(params, scale_dtype=sdt)
     jax.block_until_ready(params)
     load_s = time.time() - t0
     print(f"# params staged+transferred in {load_s:.1f}s (resident={resident})",

@@ -130,11 +130,12 @@ def repack_rowpair_device(qt: QTensor, bk: int = DEFAULT_BK) -> QTensor:
                    zero=8, interleaved_bk=bk, q4_layout=1)
 
 
-def params_repack_device(params, bk: int = DEFAULT_BK):
+def params_repack_device(params, bk: int = DEFAULT_BK, scale_dtype=None):
     """Repack every natural-layout nib4 QTensor leaf of a params pytree for
     the fused kernel (one-time at load, the analog of the reference's
     per-backend weight re-encoding, src/ggml-cuda/convert.cu). Per-32-scale
-    tensors get the row-pair int4 layout; per-16 keep plane-split."""
+    tensors get the natural-pair layout; per-16 keep plane-split.
+    scale_dtype: see repack_natpair_device."""
     def conv(x):
         if not isinstance(x, QTensor) or x.interleaved_bk != 0 \
                 or x.k % bk != 0:
@@ -142,7 +143,7 @@ def params_repack_device(params, bk: int = DEFAULT_BK):
         if x.kind == "nib4":
             groups = x.scale.shape[0]
             if groups == x.k // 32 and x.zero in (0, 8):
-                return repack_natpair_device(x, bk)
+                return repack_natpair_device(x, bk, scale_dtype=scale_dtype)
             return repack_interleaved_device(x, bk)
         if x.kind == "int8" and x.k // x.scale.shape[0] in (16, 32):
             return repack_nat8_device(x, bk)
@@ -414,8 +415,13 @@ def _qmatmul_rowpair(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
 # nb-strided, which costs ~10x in the W4A8 kernel (bench_qmm_variants).
 
 
-def repack_natpair_device(qt: QTensor, bk: int = DEFAULT_BK) -> QTensor:
-    """Natural-pair packing on device (one-time at load)."""
+def repack_natpair_device(qt: QTensor, bk: int = DEFAULT_BK,
+                          scale_dtype=None) -> QTensor:
+    """Natural-pair packing on device (one-time at load).
+
+    scale_dtype=jnp.bfloat16 stores scales half-width (10% less decode
+    weight-stream traffic) at ~0.2% relative scale error vs ggml's f16 d —
+    opt-in; the default keeps f32 for exact ggml weight parity."""
     assert qt.kind == "nib4" and qt.interleaved_bk == 0 and qt.zero in (0, 8)
     assert qt.k % bk == 0, (qt.k, bk)
     groups = qt.scale.shape[0] if hasattr(qt.scale, "shape") \
@@ -435,6 +441,8 @@ def repack_natpair_device(qt: QTensor, bk: int = DEFAULT_BK) -> QTensor:
     bias = None if qt.bias is None else jnp.asarray(qt.bias)
     if qt.zero == 0:
         bias = 8.0 * scale if bias is None else bias + 8.0 * scale
+    if scale_dtype is not None:
+        scale = scale.astype(scale_dtype)
     return replace(qt, q=rp(jnp.asarray(qt.q)), scale=scale, bias=bias,
                    zero=8, interleaved_bk=bk, q4_layout=3)
 
