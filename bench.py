@@ -85,7 +85,8 @@ def main():
     print(f"# params staged+transferred in {load_s:.1f}s (resident={resident})",
           file=sys.stderr)
 
-    cache = gptj.init_cache(cfg, batch=batch, n_ctx=512, dtype=jnp.bfloat16)
+    kv_dtype = "q8_0" if "--kv=q8_0" in sys.argv else jnp.bfloat16
+    cache = gptj.init_cache(cfg, batch=batch, n_ctx=512, dtype=kv_dtype)
 
     @jax.jit
     def step(params, tok, pos, cache, n_past):

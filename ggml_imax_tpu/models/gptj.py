@@ -20,7 +20,8 @@ from ..ops.rope import rope
 from ..quant.device import to_device_format, quantize_for_device
 from ..quant.formats import GGMLType
 from ..tokenizer.bpe import GreedyBPETokenizer
-from .common import (KVCache, attention_mask, init_kv_cache, update_kv,
+from .common import (KVCache, attention_mask, init_kv_cache, read_kv,
+                     update_kv,
                      update_kv_cells)
 
 HPARAM_NAMES = ["n_vocab", "n_ctx", "n_embd", "n_head", "n_layer", "n_rot", "ftype"]
@@ -263,7 +264,7 @@ def forward(cfg: GPTJConfig, params, tokens, positions, cache: KVCache, n_past,
             cache = update_kv(cache, li, kk, vv, n_past)
         else:
             cache = update_kv_cells(cache, li, kk, vv, cells)
-        attn = attention(q, cache.k[li], cache.v[li], mask,
+        attn = attention(q, *read_kv(cache, li, dtype=q.dtype), mask,
                              out_dtype=jnp.float32, precision=precision)
         attn = mm(attn.reshape(B, T, E), lp["o_w"])
 

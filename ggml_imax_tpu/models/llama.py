@@ -23,7 +23,8 @@ from ..ops.rope import ROPE_MODE_NEOX, ROPE_MODE_NORMAL, rope
 from ..quant.device import to_device_format, quantize_for_device
 from ..quant.formats import GGMLType
 from ..tokenizer.bpe import ByteLevelBPETokenizer
-from .common import (KVCache, attention_mask, init_kv_cache, update_kv,
+from .common import (KVCache, attention_mask, init_kv_cache, read_kv,
+                     update_kv,
                      update_kv_cells)
 
 
@@ -199,7 +200,7 @@ def forward(cfg: LlamaConfig, params, tokens, positions, cache: KVCache, n_past,
             cache = update_kv(cache, li, kk, vv, n_past)
         else:
             cache = update_kv_cells(cache, li, kk, vv, cells)
-        attn = attention(q, cache.k[li], cache.v[li], mask,
+        attn = attention(q, *read_kv(cache, li, dtype=q.dtype), mask,
                              out_dtype=jnp.float32, precision=precision)
         x = x + mm(attn.reshape(B, T, E), lp["o_w"])
 

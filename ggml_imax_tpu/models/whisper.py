@@ -36,7 +36,8 @@ from ..ops.norms import layer_norm
 from ..ops.qmatmul import qmatmul
 from ..quant.device import to_device_format
 from ..quant.formats import FORMATS, GGMLType
-from .common import KVCache, attention_mask, init_kv_cache, update_kv
+from .common import (KVCache, attention_mask, init_kv_cache, read_kv,
+                     update_kv)
 
 
 @dataclass(frozen=True)
@@ -386,7 +387,7 @@ def decode(cfg: WhisperConfig, params, tokens, positions, cache: KVCache,
         k = mm(cur, lp["k_w"]).reshape(B, T, H, D)
         v = (mm(cur, lp["v_w"]) + lp["v_b"]).reshape(B, T, H, D)
         cache = update_kv(cache, li, k, v, n_past)
-        a = attention(q, cache.k[li], cache.v[li], mask,
+        a = attention(q, *read_kv(cache, li, dtype=q.dtype), mask,
                       out_dtype=jnp.float32, precision=precision)
         x = x + mm(a.reshape(B, T, E), lp["o_w"]) + lp["o_b"]
 

@@ -192,7 +192,7 @@ class WhisperPipeline:
             # reorder the KV cache to follow surviving beams (device gather)
             if order != list(range(beam)):
                 idx = jnp.asarray(order)
-                cache = type(cache)(cache.k[:, idx], cache.v[:, idx])
+                cache = cache.select_batch(idx)
             tok_step = jnp.asarray(np.asarray(nxt, np.int32)[:, None])
             pos_step = jnp.full((beam, 1), n_past, jnp.int32)
             logits, cache = self._decode(self.params, tok_step, pos_step,

@@ -150,3 +150,31 @@ def test_chunked_device_generate_eos_and_ctx(tiny):
     got = eng.generate(prompt, 12, temp=0.0, chunk=5, eos_id=eos)
     want = ref[:ref.index(eos) + 1]
     assert got == want, (got, want)
+
+
+def test_q8_kv_cache_matches_dense(tiny):
+    """q8_0 KV residency (SURVEY §7's INT8 KV arena): greedy generation
+    through an int8 cache must match the dense-cache output on a model whose
+    logit margins dominate the ~0.4% cache quantization noise."""
+    cfg, params = tiny
+    prompt = [3, 14, 15, 92, 6]
+    dense = Engine(gpt2, cfg, params, compute_dtype=jnp.float32,
+                   kv_dtype=jnp.float32).generate(prompt, 8, temp=0.0)
+    q8 = Engine(gpt2, cfg, params, compute_dtype=jnp.float32,
+                kv_dtype="q8_0").generate(prompt, 8, temp=0.0)
+    assert q8 == dense, (q8, dense)
+
+
+def test_q8_kv_cache_celled(tiny):
+    """Celled (continuous-batching) writes through the q8_0 cache."""
+    cfg, params = tiny
+    prompt = [3, 14, 15]
+    ref = BatchedEngine(gpt2, cfg, params, compute_dtype=jnp.float32,
+                        kv_dtype=jnp.float32)
+    rid = ref.add_request(prompt, 6, temp=0.0)
+    want = ref.run()[rid]
+    be = BatchedEngine(gpt2, cfg, params, compute_dtype=jnp.float32,
+                       kv_dtype="q8_0")
+    rid = be.add_request(prompt, 6, temp=0.0)
+    got = be.run()[rid]
+    assert got == want, (got, want)
