@@ -42,4 +42,6 @@ def soft_max_ext(x, mask=None, scale: float = 1.0, max_bias: float = 0.0,
     e = jnp.exp(xf - mx)
     e = jnp.where(jnp.isneginf(xf), 0.0, e)
     s = jnp.sum(e, axis=-1, keepdims=True)
-    return (e / s).astype(x.dtype)
+    # a fully-masked row has s == 0; produce exact zeros, not 0/0 = NaN
+    # (the reference zeroes -INF lanes explicitly, ggml.c:13393-13497)
+    return (e / jnp.maximum(s, 1e-30)).astype(x.dtype)
