@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Secondary-config decode benchmarks (BASELINE.md "Secondary configs").
+
+Reference baselines (README.md:94-101, M1 Pro CPU):
+  GPT-2 117M   5 ms/token      GPT-2 1558M  42 ms/token
+  GPT-J  6B  125 ms/token (the headline, bench.py)
+
+Configs measured here on one TPU chip with synthetic weights at true
+geometry (decode cost is value-independent; payloads are generated on
+device to avoid multi-GB tunnel transfers):
+  gpt2-117m  Q4_0     gpt2-1558m Q8_0     gpt2-1558m Q5_K
+  llama2-7b  Q4_K
+Each runs the fused-loop decode (lax.scan, same-executable warmup) and
+prints one JSON line: {"model", "ms_per_token", "tok_s", "baseline_ms"}.
+
+Usage: python tools/bench_models.py [config ...]  (default: all)
+"""
+import json
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parents[1] / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from ggml_imax_tpu.quant.device import QTensor
+from ggml_imax_tpu.quant.formats import GGMLType
+
+
+# -------- device-side synthetic QTensors per structural kind --------
+class DeviceGen:
+    def __init__(self, wtype: GGMLType, seed: int = 0, scale: float = 0.02):
+        self.t = wtype
+        self.key = jax.random.key(seed)
+        self.scale = scale
+        self.n = 0
+
+    def q(self, shape_kn):
+        k, n = shape_kn
+        self.n += 1
+        kq, ks, kb = jax.random.split(jax.random.fold_in(self.key, self.n), 3)
+        t, s = self.t, self.scale
+        sc = jnp.abs(jax.random.normal(ks, (k // 32, n), jnp.float32))
+        if t == GGMLType.Q4_0:     # nib4, symmetric
+            qs = jax.random.randint(kq, (k // 2, n), 0, 256, dtype=jnp.uint8)
+            return QTensor("nib4", qs, sc * (s / 4.6), None, k, n, t, zero=8)
+        if t == GGMLType.Q4_K:     # nib4, per-32 scale + min (bias)
+            qs = jax.random.randint(kq, (k // 2, n), 0, 256, dtype=jnp.uint8)
+            bias = -jnp.abs(jax.random.normal(kb, (k // 32, n), jnp.float32)) * (s / 3)
+            return QTensor("nib4", qs, sc * (s / 9), bias, k, n, t, zero=0)
+        if t == GGMLType.Q8_0:     # int8, symmetric
+            qv = jax.random.randint(kq, (k, n), -127, 128, dtype=jnp.int8)
+            return QTensor("int8", qv, sc * (s / 74), None, k, n, t)
+        if t == GGMLType.Q5_K:     # int8 raw [0,31], per-32 scale + min
+            qv = jax.random.randint(kq, (k, n), 0, 32, dtype=jnp.int8)
+            bias = -jnp.abs(jax.random.normal(kb, (k // 32, n), jnp.float32)) * (s / 3)
+            return QTensor("int8", qv, sc * (s / 18), bias, k, n, t)
+        raise NotImplementedError(t)
+
+    def vec(self, n, one=False):
+        self.n += 1
+        v = jax.random.normal(jax.random.fold_in(self.key, self.n),
+                              (n,), jnp.float32) * self.scale
+        return v + 1.0 if one else v
+
+
+def gpt2_params(cfg, wtype):
+    g = DeviceGen(wtype)
+    E, V, C = cfg.n_embd, cfg.n_vocab, cfg.n_ctx
+    p = {"wte": g.q((E, V)),
+         "wpe": g.vec(C * E).reshape(C, E),
+         "ln_f_g": g.vec(E, one=True), "ln_f_b": g.vec(E),
+         "lm_head": None, "layers": []}
+    for _ in range(cfg.n_layer):
+        p["layers"].append({
+            "ln_1_g": g.vec(E, one=True), "ln_1_b": g.vec(E),
+            "ln_2_g": g.vec(E, one=True), "ln_2_b": g.vec(E),
+            "attn_w": g.q((E, 3 * E)), "attn_b": g.vec(3 * E),
+            "proj_w": g.q((E, E)), "proj_b": g.vec(E),
+            "fc_w": g.q((E, 4 * E)), "fc_b": g.vec(4 * E),
+            "out_w": g.q((4 * E, E)), "out_b": g.vec(E)})
+    return p
+
+
+def llama_params(cfg, wtype):
+    g = DeviceGen(wtype)
+    E, V, F = cfg.n_embd, cfg.n_vocab, cfg.n_ff
+    kvdim = cfg.n_head_kv * cfg.head_dim
+    p = {"tok_embd": g.q((E, V)), "out_norm": g.vec(E, one=True),
+         "output": g.q((E, V)), "layers": []}
+    for _ in range(cfg.n_layer):
+        p["layers"].append({
+            "attn_norm": g.vec(E, one=True),
+            "q_w": g.q((E, E)), "k_w": g.q((E, kvdim)),
+            "v_w": g.q((E, kvdim)), "o_w": g.q((E, E)),
+            "ffn_norm": g.vec(E, one=True),
+            "gate_w": g.q((E, F)), "up_w": g.q((E, F)),
+            "down_w": g.q((F, E))})
+    return p
+
+
+def measure(name, module, cfg, params, baseline_ms, n_ctx=512):
+    from ggml_imax_tpu.ops.pallas_qmm import params_repack_device
+    if hasattr(module, "fuse_qkv") and any(
+            "q_w" in l for l in params.get("layers", [{}])[:1]):
+        params = module.fuse_qkv(params)
+    params = params_repack_device(params)
+    jax.block_until_ready(jax.tree.leaves(params))
+    cache = module.init_cache(cfg, batch=1, n_ctx=n_ctx, dtype=jnp.bfloat16)
+    tok = jnp.ones((1, 1), jnp.int32)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def decode_n(params, tok, cache, start, n):
+        def body(carry, i):
+            tok, cache = carry
+            pos = jnp.full((1, 1), start + i, jnp.int32)
+            logits, cache = module.forward(cfg, params, tok, pos, cache,
+                                           start + i)
+            nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+            return (nxt, cache), ()
+        (tok, cache), _ = jax.lax.scan(body, (tok, cache), jnp.arange(n))
+        return tok, cache
+
+    n = 64
+    t0 = time.time()
+    tok, cache = decode_n(params, tok, cache, 0, n=n)   # compile + 1st exec
+    _ = int(tok[0, 0])
+    print(f"# {name}: compile+first {time.time()-t0:.0f}s", file=sys.stderr)
+    best = None
+    for rep in range(3):
+        t0 = time.perf_counter()
+        tok, cache = decode_n(params, tok, cache, n * (rep + 1), n=n)
+        _ = int(tok[0, 0])
+        dt = (time.perf_counter() - t0) / n
+        best = dt if best is None else min(best, dt)
+    print(json.dumps({
+        "model": name, "ms_per_token": round(best * 1e3, 3),
+        "tok_s": round(1.0 / best, 1),
+        "baseline_ms": baseline_ms,
+        "vs_baseline": None if baseline_ms is None
+        else round(baseline_ms / (best * 1e3), 1)}), flush=True)
+
+
+def main():
+    from ggml_imax_tpu.models import gpt2, llama
+    want = set(sys.argv[1:])
+
+    def sel(n):
+        return not want or n in want
+
+    if sel("gpt2-117m-q4_0"):
+        # vocab padded 50257 -> 50304 (%128) so the tied head takes the
+        # fused path; the extra logits are never argmax-competitive
+        # against real rows at synthetic scale
+        cfg = gpt2.GPT2Config(n_vocab=50304, n_ctx=1024, n_embd=768,
+                              n_head=12, n_layer=12)
+        measure("gpt2-117m-q4_0", gpt2, cfg, gpt2_params(cfg, GGMLType.Q4_0),
+                baseline_ms=5.0)
+    if sel("gpt2-1558m-q8_0"):
+        cfg = gpt2.GPT2Config(n_vocab=50304, n_ctx=1024, n_embd=1600,
+                              n_head=25, n_layer=48)
+        measure("gpt2-1558m-q8_0", gpt2, cfg, gpt2_params(cfg, GGMLType.Q8_0),
+                baseline_ms=42.0)
+    if sel("gpt2-1558m-q5_k"):
+        cfg = gpt2.GPT2Config(n_vocab=50304, n_ctx=1024, n_embd=1600,
+                              n_head=25, n_layer=48)
+        measure("gpt2-1558m-q5_k", gpt2, cfg, gpt2_params(cfg, GGMLType.Q5_K),
+                baseline_ms=42.0)
+    if sel("llama2-7b-q4_k"):
+        cfg = llama.LlamaConfig(n_vocab=32000, n_ctx=4096, n_embd=4096,
+                                n_head=32, n_head_kv=32, n_layer=32,
+                                n_ff=11008)
+        measure("llama2-7b-q4_k", llama, cfg,
+                llama_params(cfg, GGMLType.Q4_K), baseline_ms=None)
+
+
+if __name__ == "__main__":
+    main()
