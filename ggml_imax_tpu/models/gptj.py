@@ -212,16 +212,30 @@ def from_hf_state_dict(cfg: GPTJConfig, sd: dict, wtype: GGMLType = GGMLType.F32
 
 
 def fuse_qkv(params):
-    """Concatenate each layer's q/k/v projections into one (E, 3E) QTensor —
-    the decode path then runs one fused GEMV per layer for attention inputs.
+    """Concatenate each layer's q/k/v projections AND fc_in into one
+    (E, 3E + 4E) QTensor. GPT-J's attention and MLP read the SAME normed
+    input (parallel structure, main.cpp:535), so the decode path runs ONE
+    fused GEMV per layer for all four projections — one weight stream, one
+    activation quantization, one kernel dispatch instead of two.
     Call BEFORE params_repack_device."""
+    import os
     from ..quant.device import concat_qtensors
+    # GGML_FUSE_FF=1 additionally folds fc_in into the fused GEMV (one
+    # dispatch fewer per layer). A/B at 6B decode was inconclusive under
+    # tunnel-server drift (fused never measured faster; qkv-only measured
+    # 144.6 tok/s in the best state), so qkv-only stays the default.
+    with_ff = os.environ.get("GGML_FUSE_FF", "0") == "1"
     out = dict(params)
     out["layers"] = []
     for lp in params["layers"]:
         lp = dict(lp)
-        lp["qkv_w"] = concat_qtensors([lp.pop("q_w"), lp.pop("k_w"),
-                                       lp.pop("v_w")])
+        if with_ff:
+            lp["qkvf_w"] = concat_qtensors([lp.pop("q_w"), lp.pop("k_w"),
+                                            lp.pop("v_w"),
+                                            lp.pop("fc_in_w")])
+        else:
+            lp["qkv_w"] = concat_qtensors([lp.pop("q_w"), lp.pop("k_w"),
+                                           lp.pop("v_w")])
         out["layers"].append(lp)
     return out
 
@@ -249,8 +263,16 @@ def forward(cfg: GPTJConfig, params, tokens, positions, cache: KVCache, n_past,
 
     for li, lp in enumerate(params["layers"]):
         cur = layer_norm(x, lp["ln_1_g"], lp["ln_1_b"])
-        if "qkv_w" in lp:
-            # fused QKV (fuse_qkv): one GEMV instead of three
+        ff_pre = None
+        if "qkvf_w" in lp:
+            # fused QKV+FC_in (fuse_qkv): attention and MLP share `cur`
+            # (parallel structure), so ONE GEMV feeds all four projections
+            qkvf = mm(cur, lp["qkvf_w"])
+            qkv = qkvf[..., :3 * E].reshape(B, T, 3, H, D)
+            q, kk, vv = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            ff_pre = qkvf[..., 3 * E:]
+        elif "qkv_w" in lp:
+            # fused QKV only (legacy layout): one GEMV instead of three
             qkv = mm(cur, lp["qkv_w"]).reshape(B, T, 3, H, D)
             q, kk, vv = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         else:
@@ -269,7 +291,9 @@ def forward(cfg: GPTJConfig, params, tokens, positions, cache: KVCache, n_past,
         attn = mm(attn.reshape(B, T, E), lp["o_w"])
 
         # parallel attention + MLP on the same normed input (main.cpp:535)
-        ff = gelu(mm(cur, lp["fc_in_w"]) + lp["fc_in_b"])
+        if ff_pre is None:
+            ff_pre = mm(cur, lp["fc_in_w"])
+        ff = gelu(ff_pre + lp["fc_in_b"])
         ff = mm(ff, lp["fc_out_w"]) + lp["fc_out_b"]
         x = x + attn + ff
 

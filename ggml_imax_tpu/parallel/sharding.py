@@ -64,6 +64,7 @@ GPTJ_RULES = {
     "wte": COL, "lmh_w": COL,
     "q_w": COL, "k_w": COL, "v_w": COL, "o_w": ROW,
     "fc_in_w": COL, "fc_out_w": ROW,
+    "qkv_w": COL, "qkvf_w": COL,     # fuse_qkv outputs (feature-parallel)
 }
 LLAMA_RULES = {
     "tok_embd": COL, "output": COL,
