@@ -198,12 +198,18 @@ def main():
     fetch_lat = min(lat)
     print(f"# fetch round-trip: {fetch_lat*1e3:.1f} ms", file=sys.stderr)
 
-    t0 = time.perf_counter()
-    for i in range(n_warm, n_warm + n_meas):
-        pos = jnp.full((batch, 1), i, jnp.int32)
-        tok, cache = step(params, tok, pos, cache, i)
-    _ = int(tok[0, 0])  # forces the whole dependent chain
-    dt = time.perf_counter() - t0 - fetch_lat
+    best = None
+    for rep in range(3):
+        base = n_warm + rep * n_meas
+        t0 = time.perf_counter()
+        for i in range(base, base + n_meas):
+            pos = jnp.full((batch, 1), i, jnp.int32)
+            tok, cache = step(params, tok, pos, cache, i)
+        _ = int(tok[0, 0])  # forces the whole dependent chain
+        dt = time.perf_counter() - t0 - fetch_lat
+        print(f"# chained rep{rep}: {dt*1e3:.1f} ms", file=sys.stderr)
+        best = dt if best is None else min(best, dt)
+    dt = best
     tok_s = n_meas * batch / dt
     print(f"# {n_meas} chained steps in {dt*1e3:.1f} ms (batch={batch})",
           file=sys.stderr)
