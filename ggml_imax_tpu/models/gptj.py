@@ -240,6 +240,101 @@ def fuse_qkv(params):
     return out
 
 
+def fuse_out(params):
+    """Concatenate each layer's out_proj and fc_out along the contraction
+    axis into one (E + 4E, E) QTensor. GPT-J's attention output and MLP
+    output are SUMMED into the same residual (parallel structure,
+    examples/gpt-j/main.cpp:535), so
+        attn @ Wo + ff @ Wfc_out == concat([attn, ff]) @ concat_k([Wo, Wfc_out])
+    exactly (quant blocks are 32-aligned at the seam). Decode then runs ONE
+    fused GEMV for both output projections — with fuse_qkv(GGML_FUSE_FF=1)
+    a whole layer is two GEMV dispatches. Call BEFORE params_repack_device."""
+    from ..quant.device import concat_qtensors_k
+    out = dict(params)
+    out["layers"] = []
+    for lp in params["layers"]:
+        lp = dict(lp)
+        lp["of_w"] = concat_qtensors_k([lp.pop("o_w"), lp.pop("fc_out_w")])
+        out["layers"].append(lp)
+    return out
+
+
+def stack_model(params):
+    """Fused+repacked params -> stacked decode layout: the per-layer list
+    becomes one dict of stacked leaves ('stack') and forward() runs
+    lax.scan over layers (one compiled layer body — the executable-size/
+    warmup fix; see quant.device.stack_layers). Call AFTER fuse_qkv /
+    fuse_out / params_repack_device."""
+    from ..quant.device import stack_layers
+    out = dict(params)
+    out["stack"] = stack_layers(out.pop("layers"))
+    return out
+
+
+def _forward_stacked(cfg: GPTJConfig, params, tokens, positions, cache,
+                     n_past, *, compute_dtype, precision, cells, mask):
+    from ..ops.decode_attention import decode_attention_stacked
+    from ..ops.qmatmul import qmatmul_stacked, _force_fused
+    from ..quant.device import QTensor
+    import jax
+
+    B, T = tokens.shape
+    H, D, E = cfg.n_head, cfg.head_dim, cfg.n_embd
+    st = params["stack"]
+    qts = {k: v for k, v in st.items() if isinstance(v, QTensor)}
+    small = {k: v for k, v in st.items() if not isinstance(v, QTensor)}
+
+    x = get_rows(params["wte"], tokens, dtype=jnp.float32)
+    if mask is None:
+        mask = attention_mask(positions, cache.n_ctx, n_past)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    use_kernel = (T == 1 and cells is None and D % 128 == 0
+                  and (on_tpu or _force_fused))
+
+    def body(carry, xs):
+        x, cache = carry
+        li, sm = xs
+        cur = layer_norm(x, sm["ln_1_g"], sm["ln_1_b"])
+        ff_pre = None
+        if "qkvf_w" in qts:
+            qkvf = qmatmul_stacked(cur, qts["qkvf_w"], li)
+            qkv = qkvf[..., :3 * E].reshape(B, T, 3, H, D)
+            q, kk, vv = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            ff_pre = qkvf[..., 3 * E:]
+        else:
+            qkv = qmatmul_stacked(cur, qts["qkv_w"], li).reshape(B, T, 3, H, D)
+            q, kk, vv = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = rope(q, positions, n_dims=cfg.n_rot, mode=0)
+        kk = rope(kk, positions, n_dims=cfg.n_rot, mode=0)
+        cache2 = update_kv(cache, li, kk, vv, n_past)
+        if use_kernel:
+            attn = decode_attention_stacked(cache2, li, q, mask)
+        else:
+            attn = attention(q, *read_kv(cache2, li, dtype=q.dtype), mask,
+                             out_dtype=jnp.float32, precision=precision)
+        attn = attn.reshape(B, T, E)
+        if ff_pre is None:
+            ff_pre = qmatmul_stacked(cur, qts["fc_in_w"], li)
+        ff = gelu(ff_pre + sm["fc_in_b"])
+        if "of_w" in qts:
+            y = qmatmul_stacked(jnp.concatenate([attn, ff], axis=-1),
+                                qts["of_w"], li)
+            x = x + y + sm["fc_out_b"]
+        else:
+            attn = qmatmul_stacked(attn, qts["o_w"], li)
+            ff = qmatmul_stacked(ff, qts["fc_out_w"], li) + sm["fc_out_b"]
+            x = x + attn + ff
+        return (x, cache2), None
+
+    lis = jnp.arange(cfg.n_layer, dtype=jnp.int32)
+    (x, cache), _ = jax.lax.scan(body, (x, cache), (lis, small))
+    x = layer_norm(x, params["ln_f_g"], params["ln_f_b"])
+    logits = qmatmul(x, params["lmh_w"], compute_dtype=compute_dtype,
+                     out_dtype=jnp.float32,
+                     precision=precision) + params["lmh_b"]
+    return logits, cache
+
+
 def init_cache(cfg: GPTJConfig, batch: int = 1, n_ctx: int | None = None,
                dtype=jnp.bfloat16) -> KVCache:
     return init_kv_cache(cfg.n_layer, batch, n_ctx or cfg.n_ctx,
@@ -249,6 +344,10 @@ def init_cache(cfg: GPTJConfig, batch: int = 1, n_ctx: int | None = None,
 def forward(cfg: GPTJConfig, params, tokens, positions, cache: KVCache, n_past,
             *, compute_dtype=jnp.bfloat16, precision=None,
             cells=None, mask=None):
+    if "stack" in params:
+        return _forward_stacked(cfg, params, tokens, positions, cache,
+                                n_past, compute_dtype=compute_dtype,
+                                precision=precision, cells=cells, mask=mask)
     B, T = tokens.shape
     H, D, E = cfg.n_head, cfg.head_dim, cfg.n_embd
 
@@ -288,14 +387,21 @@ def forward(cfg: GPTJConfig, params, tokens, positions, cache: KVCache, n_past,
             cache = update_kv_cells(cache, li, kk, vv, cells)
         attn = attention(q, *read_kv(cache, li, dtype=q.dtype), mask,
                              out_dtype=jnp.float32, precision=precision)
-        attn = mm(attn.reshape(B, T, E), lp["o_w"])
+        attn = attn.reshape(B, T, E)
 
         # parallel attention + MLP on the same normed input (main.cpp:535)
         if ff_pre is None:
             ff_pre = mm(cur, lp["fc_in_w"])
         ff = gelu(ff_pre + lp["fc_in_b"])
-        ff = mm(ff, lp["fc_out_w"]) + lp["fc_out_b"]
-        x = x + attn + ff
+        if "of_w" in lp:
+            # fused output projections (fuse_out): attn @ Wo + ff @ Wfc_out
+            # as ONE GEMV over the concatenated activations
+            y = mm(jnp.concatenate([attn, ff], axis=-1), lp["of_w"])
+            x = x + y + lp["fc_out_b"]
+        else:
+            attn = mm(attn, lp["o_w"])
+            ff = mm(ff, lp["fc_out_w"]) + lp["fc_out_b"]
+            x = x + attn + ff
 
     x = layer_norm(x, params["ln_f_g"], params["ln_f_b"])
     logits = qmatmul(x, params["lmh_w"], compute_dtype=compute_dtype,

@@ -888,6 +888,423 @@ def _qmatmul_nat8(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
     return out[:m].reshape(*lead, n)
 
 
+# ---- stacked-layer kernels: the same natpair/nat8 math over weights with a
+# leading n_layer axis, selected by a scalar-prefetched layer index. This is
+# what lets the model run lax.scan over layers (ONE compiled layer body, the
+# warmup/executable-size fix) while each kernel still streams its layer's
+# tiles straight from the stacked HBM buffer — no per-layer gather/copy, no
+# XLA dynamic-slice materialization. The analog of the reference looping
+# layer graphs over one set of kernels (gpt-j/main.cpp:421-589). ----
+
+
+def stack_natpair(qts):
+    """Deprecated helper — use quant.device.stack_layers on whole dicts."""
+    from ..quant.device import stack_layers
+    return stack_layers([{"w": t} for t in qts])["w"]
+
+
+def _kernel_natpair_w4a8_stk(has_bias, nb, interpret, *refs):
+    if has_bias:
+        s_ref, x8_ref, qs_ref, sc_ref, dx_ref, xs_ref, b_ref, o_ref, acc_ref = refs
+    else:
+        s_ref, x8_ref, qs_ref, sc_ref, dx_ref, o_ref, acc_ref = refs
+    kk = pl.program_id(1)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w8 = _natpair_unpack_2d(qs_ref[0], interpret)
+    s_f32 = sc_ref[0].astype(jnp.float32)
+    acc = acc_ref[:]
+    for b in range(nb):
+        z = jax.lax.dot_general(
+            x8_ref[b], w8[32 * b:32 * (b + 1), :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc = acc + z.astype(jnp.float32) * \
+            (dx_ref[b][:, None] * s_f32[b][None, :])
+    if has_bias:
+        acc = acc + jax.lax.dot_general(
+            xs_ref[:], b_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    acc_ref[:] = acc
+
+    @pl.when(kk == pl.num_programs(1) - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def _natpair_unpack_2d(qs, interpret):
+    """(bk/2, bn) packed natpair bytes (already loaded) -> (bk, bn) int8."""
+    if interpret:
+        g = qs.astype(jnp.int32)
+        lo = ((g & 15) ^ 8) - 8
+        hi = ((g >> 4) ^ 8) - 8
+        bk2, bn = lo.shape
+        return jnp.stack([lo, hi], axis=1).reshape(2 * bk2, bn) \
+            .astype(jnp.int8)
+    return pltpu.bitcast(qs, jnp.int4).astype(jnp.int8)
+
+
+def qmatmul_natpair_w4a8_stacked(x: jax.Array, qt: QTensor, li,
+                                 *, interpret: bool | None = None) -> jax.Array:
+    """W4A8 decode GEMV over ONE layer of a stacked natpair QTensor.
+    x: (..., K) for the selected layer; li: () int32 layer index."""
+    assert qt.n_stack > 0 and qt.q4_layout == 3
+    k, n = qt.k, qt.n
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    bkk = _W4A8_BKK
+    while k % bkk:
+        bkk //= 2
+    nbk = bkk // 32
+    bn = min(_W4A8_BN, n)
+    if n % bn:
+        for cand in (512, 256, 128):
+            if n % cand == 0:
+                bn = cand
+                break
+    assert n % bn == 0, (n, bn)
+
+    lead = x.shape[:-1]
+    m = int(np.prod(lead)) if lead else 1
+    x2 = x.reshape(m, k)
+    x8t, dx = _quantize_activations_q8(x2, k)
+
+    has_bias = qt.bias is not None
+    args = [x8t, qt.q, qt.scale, dx]
+    in_specs = [
+        pl.BlockSpec((nbk, m, 32), lambda nn, kk, s: (kk, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bkk // 2, bn), lambda nn, kk, s: (s[0], kk, nn),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nbk, bn), lambda nn, kk, s: (s[0], kk, nn),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nbk, m), lambda nn, kk, s: (kk, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_bias:
+        xs = dx * jnp.sum(x8t.astype(jnp.float32), axis=-1)
+        args += [xs, qt.bias]
+        in_specs += [
+            pl.BlockSpec((nbk, m), lambda nn, kk, s: (kk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nbk, bn), lambda nn, kk, s: (s[0], kk, nn),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // bn, k // bkk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((m, bn), lambda nn, kk, s: (0, nn),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        partial(_kernel_natpair_w4a8_stk, has_bias, nbk, interpret),
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=k * n // 2
+            + k // 32 * n * 4 * (2 if has_bias else 1) + m * k + m * n * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(li, jnp.int32).reshape(1), *args)
+    return out.reshape(*lead, n)
+
+
+def _kernel_natpair_w4a16_stk(has_bias, interpret, *refs):
+    if has_bias:
+        s_ref, x_ref, qs_ref, sc_ref, xs_ref, b_ref, o_ref, acc_ref = refs
+    else:
+        s_ref, x_ref, qs_ref, sc_ref, o_ref, acc_ref = refs
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = _natpair_unpack_2d(qs_ref[0], interpret).astype(jnp.bfloat16)
+    w = w * jnp.repeat(sc_ref[0].astype(jnp.bfloat16), 32, axis=0)
+    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+    if has_bias:
+        acc_ref[:] += jax.lax.dot_general(
+            xs_ref[:], b_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def qmatmul_natpair_w4a16_stacked(x: jax.Array, qt: QTensor, li,
+                                  *, bn: int = DEFAULT_BN,
+                                  interpret: bool | None = None) -> jax.Array:
+    """W4A16 (prefill) matmul over one layer of a stacked natpair QTensor."""
+    assert qt.n_stack > 0 and qt.q4_layout == 3
+    k, n = qt.k, qt.n
+    bk = qt.interleaved_bk
+    nb = bk // 32
+    bn = min(bn, n)
+    if n % bn:
+        for cand in (512, 256, 128):
+            if n % cand == 0:
+                bn = cand
+                break
+    assert n % bn == 0, (n, bn)
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    lead = x.shape[:-1]
+    m = int(np.prod(lead)) if lead else 1
+    m_pad, bm = _m_tiling(m)
+    x2 = _pad_rows(x.reshape(m, k).astype(jnp.bfloat16), m_pad)
+
+    has_bias = qt.bias is not None
+    args = [x2, qt.q, qt.scale]
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda mm, nn, kk, s: (mm, kk),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk // 2, bn), lambda mm, nn, kk, s: (s[0], kk, nn),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nb, bn), lambda mm, nn, kk, s: (s[0], kk, nn),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_bias:
+        xs = x2.astype(jnp.float32).reshape(m_pad, k // 32, 32).sum(axis=-1).T
+        args += [xs, qt.bias]
+        in_specs += [
+            pl.BlockSpec((nb, bm), lambda mm, nn, kk, s: (kk, mm),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, bn), lambda mm, nn, kk, s: (s[0], kk, nn),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m_pad // bm, n // bn, k // bk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda mm, nn, kk, s: (mm, nn),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        partial(_kernel_natpair_w4a16_stk, has_bias, interpret),
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k * n,
+            bytes_accessed=(m_pad // bm)
+            * (k * n // 2 + k // 32 * n * 4 * (2 if has_bias else 1))
+            + m_pad * k * 2 + m_pad * n * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(li, jnp.int32).reshape(1), *args)
+    return out[:m].reshape(*lead, n)
+
+
+def qmatmul_stacked(x: jax.Array, qt: QTensor, li, *,
+                    interpret: bool | None = None) -> jax.Array:
+    """Layer-indexed matmul over a stacked QTensor: W4A8 at decode shapes,
+    W4A16 at prefill shapes (same dispatch rule as qmatmul_pallas)."""
+    assert qt.n_stack > 0
+    if qt.q4_layout == 3:
+        lead = x.shape[:-1]
+        m = int(np.prod(lead)) if lead else 1
+        if _w4a8_enabled and m <= _W4A8_MAX_M:
+            return qmatmul_natpair_w4a8_stacked(x, qt, li,
+                                                interpret=interpret)
+        return qmatmul_natpair_w4a16_stacked(x, qt, li, interpret=interpret)
+    if qt.q4_layout == 4:
+        return qmatmul_nat8_stacked(x, qt, li, interpret=interpret)
+    raise ValueError(f"unsupported stacked layout {qt.q4_layout}")
+
+
+def _kernel_nat8_w8a8_stk(has_bias, nb, g, *refs):
+    if has_bias:
+        s_ref, x8_ref, q_ref, sc_ref, dx_ref, xs_ref, b_ref, o_ref, acc_ref = refs
+    else:
+        s_ref, x8_ref, q_ref, sc_ref, dx_ref, o_ref, acc_ref = refs
+    kk = pl.program_id(1)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w8 = q_ref[0]
+    sc = sc_ref[0].astype(jnp.float32)
+    acc = acc_ref[:]
+    for b in range(nb):
+        z = jax.lax.dot_general(
+            x8_ref[b], w8[g * b:g * (b + 1), :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc = acc + z.astype(jnp.float32) * \
+            (dx_ref[b][:, None] * sc[b][None, :])
+    if has_bias:
+        acc = acc + jax.lax.dot_general(
+            xs_ref[:], b_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    acc_ref[:] = acc
+
+    @pl.when(kk == pl.num_programs(1) - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def _kernel_nat8_w8a16_stk(has_bias, g, *refs):
+    if has_bias:
+        s_ref, x_ref, q_ref, sc_ref, xs_ref, b_ref, o_ref, acc_ref = refs
+    else:
+        s_ref, x_ref, q_ref, sc_ref, o_ref, acc_ref = refs
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = q_ref[0].astype(jnp.bfloat16) \
+        * jnp.repeat(sc_ref[0].astype(jnp.bfloat16), g, axis=0)
+    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+    if has_bias:
+        acc_ref[:] += jax.lax.dot_general(
+            xs_ref[:], b_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def qmatmul_nat8_stacked(x: jax.Array, qt: QTensor, li, *,
+                         bn: int = DEFAULT_BN,
+                         interpret: bool | None = None) -> jax.Array:
+    """Layer-indexed W8A8/W8A16 matmul over a stacked nat8 QTensor."""
+    assert qt.n_stack > 0 and qt.q4_layout == 4
+    k, n = qt.k, qt.n
+    g = k // qt.scale.shape[1]
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    lead = x.shape[:-1]
+    m = int(np.prod(lead)) if lead else 1
+    has_bias = qt.bias is not None
+    li = jnp.asarray(li, jnp.int32).reshape(1)
+
+    if _w4a8_enabled and m <= _W4A8_MAX_M:
+        bkk = _W4A8_BKK
+        while k % bkk:
+            bkk //= 2
+        nbk = bkk // g
+        bn8 = min(_W4A8_BN, n)
+        if n % bn8:
+            for cand in (512, 256, 128):
+                if n % cand == 0:
+                    bn8 = cand
+                    break
+        assert n % bn8 == 0, (n, bn8)
+        x2 = x.reshape(m, k)
+        x8t, dx = _quantize_activations_q8(x2, k, g)
+        args = [x8t, qt.q, qt.scale, dx]
+        in_specs = [
+            pl.BlockSpec((nbk, m, g), lambda nn, kk, s: (kk, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkk, bn8), lambda nn, kk, s: (s[0], kk, nn),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nbk, bn8), lambda nn, kk, s: (s[0], kk, nn),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbk, m), lambda nn, kk, s: (kk, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        if has_bias:
+            xs = dx * jnp.sum(x8t.astype(jnp.float32), axis=-1)
+            args += [xs, qt.bias]
+            in_specs += [
+                pl.BlockSpec((nbk, m), lambda nn, kk, s: (kk, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nbk, bn8), lambda nn, kk, s: (s[0], kk, nn),
+                             memory_space=pltpu.VMEM),
+            ]
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n // bn8, k // bkk),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((m, bn8), lambda nn, kk, s: (0, nn),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((m, bn8), jnp.float32)],
+        )
+        out = pl.pallas_call(
+            partial(_kernel_nat8_w8a8_stk, has_bias, nbk, g),
+            grid_spec=gs,
+            out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * m * k * n,
+                bytes_accessed=k * n + k // g * n * 4 *
+                (2 if has_bias else 1) + m * k + m * n * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(li, *args)
+        return out.reshape(*lead, n)
+
+    bk = qt.interleaved_bk
+    nb = bk // g
+    bn = min(bn, n)
+    if n % bn:
+        for cand in (512, 256, 128):
+            if n % cand == 0:
+                bn = cand
+                break
+    assert n % bn == 0, (n, bn)
+    m_pad, bm = _m_tiling(m)
+    x2 = _pad_rows(x.reshape(m, k).astype(jnp.bfloat16), m_pad)
+    args = [x2, qt.q, qt.scale]
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda mm, nn, kk, s: (mm, kk),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, bn), lambda mm, nn, kk, s: (s[0], kk, nn),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nb, bn), lambda mm, nn, kk, s: (s[0], kk, nn),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_bias:
+        xs = x2.astype(jnp.float32).reshape(m_pad, k // g, g).sum(axis=-1).T
+        args += [xs, qt.bias]
+        in_specs += [
+            pl.BlockSpec((nb, bm), lambda mm, nn, kk, s: (kk, mm),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, bn), lambda mm, nn, kk, s: (s[0], kk, nn),
+                         memory_space=pltpu.VMEM),
+        ]
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m_pad // bm, n // bn, k // bk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda mm, nn, kk, s: (mm, nn),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        partial(_kernel_nat8_w8a16_stk, has_bias, g),
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k * n,
+            bytes_accessed=(m_pad // bm)
+            * (k * n + k // g * n * 4 * (2 if has_bias else 1))
+            + m_pad * k * 2 + m_pad * n * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(li, *args)
+    return out[:m].reshape(*lead, n)
+
+
 # ---- int8-kind fused kernel (Q5_0/Q5_1/Q8_0/Q5_K/Q6_K/IQ4_*: weights are
 # already int8 in HBM; the kernel streams them at 1 byte/elt and expands to
 # bf16 in VMEM — the dmmv.cu analog for 8-bit-ish formats) ----

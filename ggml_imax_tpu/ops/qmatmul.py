@@ -208,3 +208,23 @@ def qmatmul(x: jax.Array, qt: QTensor, *, compute_dtype=jnp.bfloat16,
     y = jnp.matmul(x.astype(compute_dtype), w,
                    preferred_element_type=jnp.float32, precision=precision)
     return y.astype(out_dtype)
+
+
+def qmatmul_stacked(x: jax.Array, qt: QTensor, li, *,
+                    compute_dtype=jnp.bfloat16) -> jax.Array:
+    """x @ dequant(W[li]) over a stacked QTensor (quant.device.stack_layers):
+    the layer is selected by a scalar-prefetched index inside the fused
+    kernels, so lax.scan-over-layers streams each layer's tiles straight
+    from the stacked HBM buffer. Off-TPU (and for layouts without a stacked
+    kernel) falls back to a dynamic-slice + XLA-dequant matmul. Returns f32."""
+    import os
+    if (qt.kind in ("nib4", "int8") and qt.interleaved_bk > 0
+            and qt.q4_layout in (3, 4) and qt.n % 128 == 0
+            and os.environ.get("GGML_STACKED_FALLBACK", "0") != "1"
+            and (jax.devices()[0].platform == "tpu" or _force_fused)):
+        from .pallas_qmm import qmatmul_stacked as _stk
+        return _stk(x, qt, li)
+    from ..quant.device import index_stacked
+    w = dequantize_xla(index_stacked(qt, li), dtype=compute_dtype)
+    return jnp.matmul(x.astype(compute_dtype), w,
+                      preferred_element_type=jnp.float32)

@@ -59,17 +59,24 @@ class QTensor:
     name: str = ""            # stable identity (static pytree aux) — survives
                               # jit tracing; imatrix collection keys on it
                               # (llama.cpp's imatrix is name-keyed too)
+    n_stack: int = 0          # 0 = single tensor; L = per-layer stack: every
+                              # array child carries a leading L dim and the
+                              # fused kernels select a layer by scalar-
+                              # prefetched index (stack_layers / ops/
+                              # pallas_qmm stacked paths) — the device-side
+                              # layout that lets lax.scan-over-layers stream
+                              # weights with no per-layer gather/copy
 
     def tree_flatten(self):
         return (self.q, self.scale, self.bias), (
             self.kind, self.k, self.n, self.ggml_type, self.zero,
-            self.interleaved_bk, self.q4_layout, self.name)
+            self.interleaved_bk, self.q4_layout, self.name, self.n_stack)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         q, scale, bias = children
-        kind, k, n, t, z, ibk, q4l, name = aux
-        return cls(kind, q, scale, bias, k, n, t, z, ibk, q4l, name)
+        kind, k, n, t, z, ibk, q4l, name, ns = aux
+        return cls(kind, q, scale, bias, k, n, t, z, ibk, q4l, name, ns)
 
 
 try:  # register as a pytree so QTensors pass through jit/pjit boundaries
@@ -338,4 +345,108 @@ def concat_qtensors(qts: list, axis_n: bool = True) -> QTensor:
     scale = None if a.scale is None else cat([t.scale for t in qts], axis=1)
     bias = None if a.bias is None else cat([t.bias for t in qts], axis=1)
     return QTensor(a.kind, q, scale, bias, a.k, sum(t.n for t in qts),
+                   a.ggml_type, a.zero, a.interleaved_bk, a.q4_layout)
+
+
+def stack_layers(layers: list[dict]) -> dict:
+    """Stack per-layer parameter dicts into one dict of stacked leaves:
+    QTensor children gain a leading n_layer dim (n_stack tag), plain arrays
+    are stacked. All layers must share keys and QTensor aux. The result
+    feeds lax.scan-over-layers decode: ONE compiled layer body instead of
+    n_layer inlined copies (the warmup/executable-size fix), with the fused
+    kernels reading layer slices in place via scalar-prefetch indices.
+
+    DESTRUCTIVE: consumes its argument — per-layer arrays are freed as each
+    stacked buffer fills (donated dynamic_update_slice), so peak device
+    memory is the params image + ONE layer slice, not 2x the image."""
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def _set(buf, piece, li):
+        return jax.lax.dynamic_update_slice(
+            buf, piece[None].astype(buf.dtype),
+            (li,) + (0,) * piece.ndim)
+
+    def stack_in_place(pieces):
+        """Donated in-place stacking: peak extra memory is ONE stacked
+        buffer (not 2x the whole image — at 6B geometry a plain jnp.stack
+        of every leaf transiently doubles ~3.3 GB of weights past the
+        usable HBM residency and silently host-pages the result)."""
+        first = jnp.asarray(pieces[0])
+        buf = jnp.zeros((len(pieces),) + first.shape, first.dtype)
+        for li, p in enumerate(pieces):
+            buf = _set(buf, jnp.asarray(p), jnp.int32(li))
+            pieces[li] = None           # free the source as we go
+        return buf
+
+    keys = list(layers[0].keys())
+    assert all(list(lp.keys()) == keys for lp in layers), "non-uniform layers"
+    L = len(layers)
+    out = {}
+    for key in keys:
+        a = layers[0][key]
+        if isinstance(a, QTensor):
+            for lp in layers[1:]:
+                b = lp[key]
+                assert (b.kind, b.k, b.n, b.ggml_type, b.zero,
+                        b.interleaved_bk, b.q4_layout) == \
+                       (a.kind, a.k, a.n, a.ggml_type, a.zero,
+                        a.interleaved_bk, a.q4_layout), key
+            qts = [lp.pop(key) for lp in layers]   # remove caller's refs
+
+            def grab(attr):
+                arrs = [getattr(t, attr) for t in qts]
+                for t in qts:
+                    setattr(t, attr, None)         # free as the stack fills
+                return arrs
+
+            aux = replace(a, q=None, scale=None, bias=None)
+            q = stack_in_place(grab("q"))
+            scale = None if a.scale is None else stack_in_place(grab("scale"))
+            bias = None if a.bias is None else stack_in_place(grab("bias"))
+            del qts
+            out[key] = replace(aux, q=q, scale=scale, bias=bias, n_stack=L)
+        else:
+            out[key] = stack_in_place([lp.pop(key) for lp in layers])
+    return out
+
+
+def index_stacked(qt: QTensor, li) -> QTensor:
+    """Select layer `li` (traced or static) from a stacked QTensor by
+    dynamic-slice. Materializes a copy — used only by non-kernel fallback
+    paths (CPU tests, XLA dequant); the fused kernels index in place."""
+    import jax
+    import jax.numpy as jnp
+    assert qt.n_stack > 0
+    take = lambda a: None if a is None else \
+        jnp.squeeze(jax.lax.dynamic_slice_in_dim(jnp.asarray(a), li, 1,
+                                                 axis=0), axis=0)
+    return replace(qt, q=take(qt.q), scale=take(qt.scale),
+                   bias=take(qt.bias), n_stack=0)
+
+
+def concat_qtensors_k(qts: list) -> QTensor:
+    """Concatenate QTensors along the contraction (K) dimension — used to
+    fuse two projections that share an output space into one GEMV whose
+    input is the concatenation of their activations (e.g. GPT-J's
+    out_proj + fc_out both map to n_embd and their results are summed into
+    the residual, examples/gpt-j/main.cpp:535). Natural layouts only
+    (concat BEFORE params_repack_device); every K must be a multiple of the
+    scale group so quant blocks never straddle a seam."""
+    import jax.numpy as jnp
+    a = qts[0]
+    for b in qts[1:]:
+        assert (b.kind, b.n, b.ggml_type, b.zero, b.interleaved_bk,
+                b.q4_layout) == (a.kind, a.n, a.ggml_type, a.zero,
+                                 a.interleaved_bk, a.q4_layout)
+    assert a.interleaved_bk == 0, "concat_qtensors_k needs natural layout"
+    group = a.k // a.scale.shape[0] if a.scale is not None else 32
+    assert all(t.k % max(group, 32) == 0 for t in qts)
+    cat = (jnp.concatenate if any(hasattr(t.q, "devices") for t in qts)
+           else np.concatenate)
+    q = cat([t.q for t in qts], axis=0)
+    scale = None if a.scale is None else cat([t.scale for t in qts], axis=0)
+    bias = None if a.bias is None else cat([t.bias for t in qts], axis=0)
+    return QTensor(a.kind, q, scale, bias, sum(t.k for t in qts), a.n,
                    a.ggml_type, a.zero, a.interleaved_bk, a.q4_layout)
