@@ -240,6 +240,34 @@ def fuse_qkv(params):
     return out
 
 
+def pad_lm_head(params, multiple: int = 128):
+    """Pad lmh_w's vocab dim to a 128 multiple so the LM head takes the
+    fused Pallas path (qmatmul's `n % 128` gate — GPT-J's 50400 otherwise
+    silently falls back to XLA dequant). Padded logit columns get a -1e30
+    bias so argmax/top-k never select them; forward() slices logits back
+    to cfg.n_vocab. Call BEFORE params_repack_device."""
+    from ..quant.device import pad_qtensor_cols
+    h = params["lmh_w"]
+    if h.kind == "dense":
+        return params
+    h2, npad = pad_qtensor_cols(h, multiple)
+    if npad == 0:
+        return params
+    out = dict(params)
+    out["lmh_w"] = h2
+    out["lmh_b"] = jnp.pad(jnp.asarray(params["lmh_b"]), (0, npad),
+                           constant_values=-1e30)
+    return out
+
+
+def prepare_fused(params, cfg=None):
+    """One-call decode fast-path prep: fuse_qkv (+GGML_FUSE_FF) + LM-head
+    vocab padding. The Engine's residency="q4-fused" and bench.py both use
+    this, so the public API reproduces the headline-bench graph. Call
+    BEFORE params_repack_device."""
+    return pad_lm_head(fuse_qkv(params))
+
+
 def fuse_out(params):
     """Concatenate each layer's out_proj and fc_out along the contraction
     axis into one (E + 4E, E) QTensor. GPT-J's attention output and MLP
@@ -332,6 +360,8 @@ def _forward_stacked(cfg: GPTJConfig, params, tokens, positions, cache,
     logits = qmatmul(x, params["lmh_w"], compute_dtype=compute_dtype,
                      out_dtype=jnp.float32,
                      precision=precision) + params["lmh_b"]
+    if params["lmh_w"].n > cfg.n_vocab:       # pad_lm_head columns
+        logits = logits[..., :cfg.n_vocab]
     return logits, cache
 
 
@@ -406,4 +436,6 @@ def forward(cfg: GPTJConfig, params, tokens, positions, cache: KVCache, n_past,
     x = layer_norm(x, params["ln_f_g"], params["ln_f_b"])
     logits = qmatmul(x, params["lmh_w"], compute_dtype=compute_dtype,
                      out_dtype=jnp.float32, precision=precision) + params["lmh_b"]
+    if params["lmh_w"].n > cfg.n_vocab:       # pad_lm_head columns
+        logits = logits[..., :cfg.n_vocab]
     return logits, cache

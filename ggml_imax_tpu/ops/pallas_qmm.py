@@ -146,7 +146,7 @@ def params_repack_device(params, bk: int = DEFAULT_BK, scale_dtype=None):
                 return repack_natpair_device(x, bk, scale_dtype=scale_dtype)
             return repack_interleaved_device(x, bk)
         if x.kind == "int8" and x.k // x.scale.shape[0] in (16, 32):
-            return repack_nat8_device(x, bk)
+            return repack_nat8_device(x, bk, scale_dtype=scale_dtype)
         return x
 
     def walk(d):
@@ -252,7 +252,7 @@ def _kernel_rowpair(has_bias, interpret, *refs):
         # xs arrives transposed (nb, m) — Mosaic requires the lane dim of a
         # block to be 128-divisible or the full array dim, and nb=16 is not.
         acc_ref[:] += jax.lax.dot_general(
-            xs_ref[:], b_ref[:], (((0,), (0,)), ((), ())),
+            xs_ref[:], b_ref[:].astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(kk == pl.num_programs(2) - 1)
@@ -443,6 +443,12 @@ def repack_natpair_device(qt: QTensor, bk: int = DEFAULT_BK,
         bias = 8.0 * scale if bias is None else bias + 8.0 * scale
     if scale_dtype is not None:
         scale = scale.astype(scale_dtype)
+        # half-width affine terms too (the wire format stores K-quant
+        # d/dmin as fp16, ggml-common.h:261-273, so half-precision affine
+        # storage matches the format's own precision class); this is what
+        # brings the Q4_K_M 7B image from ~5.3 GB (host-paged) to ~4.3 GB
+        # (resident) on the 5-6 GB usable-HBM chip
+        bias = None if bias is None else bias.astype(scale_dtype)
     return replace(qt, q=rp(jnp.asarray(qt.q)), scale=scale, bias=bias,
                    zero=8, interleaved_bk=bk, q4_layout=3)
 
@@ -464,7 +470,7 @@ def _kernel_natpair_w4a16(has_bias, interpret, *refs):
     acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
     if has_bias:
         acc_ref[:] += jax.lax.dot_general(
-            xs_ref[:], b_ref[:], (((0,), (0,)), ((), ())),
+            xs_ref[:], b_ref[:].astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(kk == pl.num_programs(2) - 1)
@@ -629,7 +635,7 @@ def _kernel_natpair_w4a8(has_bias, nb, interpret, *refs):
     if has_bias:
         # exact affine term at q8_1 precision: sum_b bias[b,n] * d_b*sum(q8)
         acc = acc + jax.lax.dot_general(
-            xs_ref[:], b_ref[:], (((0,), (0,)), ((), ())),
+            xs_ref[:], b_ref[:].astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     acc_ref[:] = acc
 
@@ -709,15 +715,21 @@ def _qmatmul_natpair_w4a8(x: jax.Array, qt: QTensor, *, bn: int,
 # stream; prefill expands scales with jnp.repeat amortized over m ----
 
 
-def repack_nat8_device(qt: QTensor, bk: int = DEFAULT_BK) -> QTensor:
+def repack_nat8_device(qt: QTensor, bk: int = DEFAULT_BK,
+                       scale_dtype=None) -> QTensor:
     """int8 rows stay in natural order — the 'repack' only moves the arrays
-    to device and tags the layout."""
+    to device and tags the layout. scale_dtype: see repack_natpair_device
+    (applies to the affine bias too)."""
     assert qt.kind == "int8" and qt.interleaved_bk == 0
     assert qt.k % bk == 0, (qt.k, bk)
     g = qt.k // qt.scale.shape[0]
     assert g in (16, 32), g
-    return replace(qt, q=jnp.asarray(qt.q), scale=jnp.asarray(qt.scale),
-                   bias=None if qt.bias is None else jnp.asarray(qt.bias),
+    scale = jnp.asarray(qt.scale)
+    bias = None if qt.bias is None else jnp.asarray(qt.bias)
+    if scale_dtype is not None:
+        scale = scale.astype(scale_dtype)
+        bias = None if bias is None else bias.astype(scale_dtype)
+    return replace(qt, q=jnp.asarray(qt.q), scale=scale, bias=bias,
                    interleaved_bk=bk, q4_layout=4)
 
 
@@ -742,7 +754,7 @@ def _kernel_nat8_w8a8(has_bias, nb, g, *refs):
             (dx_ref[b][:, None] * s_ref[b][None, :])
     if has_bias:
         acc = acc + jax.lax.dot_general(
-            xs_ref[:], b_ref[:], (((0,), (0,)), ((), ())),
+            xs_ref[:], b_ref[:].astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     acc_ref[:] = acc
 
@@ -767,7 +779,7 @@ def _kernel_nat8_w8a16(has_bias, g, *refs):
     acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
     if has_bias:
         acc_ref[:] += jax.lax.dot_general(
-            xs_ref[:], b_ref[:], (((0,), (0,)), ((), ())),
+            xs_ref[:], b_ref[:].astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(kk == pl.num_programs(2) - 1)
@@ -925,7 +937,7 @@ def _kernel_natpair_w4a8_stk(has_bias, nb, interpret, *refs):
             (dx_ref[b][:, None] * s_f32[b][None, :])
     if has_bias:
         acc = acc + jax.lax.dot_general(
-            xs_ref[:], b_ref[0], (((0,), (0,)), ((), ())),
+            xs_ref[:], b_ref[0].astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     acc_ref[:] = acc
 
@@ -1033,7 +1045,7 @@ def _kernel_natpair_w4a16_stk(has_bias, interpret, *refs):
     acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
     if has_bias:
         acc_ref[:] += jax.lax.dot_general(
-            xs_ref[:], b_ref[0], (((0,), (0,)), ((), ())),
+            xs_ref[:], b_ref[0].astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(kk == pl.num_programs(2) - 1)
@@ -1147,7 +1159,7 @@ def _kernel_nat8_w8a8_stk(has_bias, nb, g, *refs):
             (dx_ref[b][:, None] * sc[b][None, :])
     if has_bias:
         acc = acc + jax.lax.dot_general(
-            xs_ref[:], b_ref[0], (((0,), (0,)), ((), ())),
+            xs_ref[:], b_ref[0].astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     acc_ref[:] = acc
 
@@ -1172,7 +1184,7 @@ def _kernel_nat8_w8a16_stk(has_bias, g, *refs):
     acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
     if has_bias:
         acc_ref[:] += jax.lax.dot_general(
-            xs_ref[:], b_ref[0], (((0,), (0,)), ((), ())),
+            xs_ref[:], b_ref[0].astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(kk == pl.num_programs(2) - 1)
@@ -1355,7 +1367,7 @@ def _kernel_int8(has_bias, g, *refs):
     acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
     if has_bias:
         acc_ref[:] += jax.lax.dot_general(
-            xs_ref[:], b_ref[:], (((0,), (0,)), ((), ())),
+            xs_ref[:], b_ref[:].astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(kk == pl.num_programs(2) - 1)

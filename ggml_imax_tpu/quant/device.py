@@ -348,6 +348,32 @@ def concat_qtensors(qts: list, axis_n: bool = True) -> QTensor:
                    a.ggml_type, a.zero, a.interleaved_bk, a.q4_layout)
 
 
+def pad_qtensor_cols(qt: QTensor, multiple: int = 128) -> tuple[QTensor, int]:
+    """Zero-pad a natural-layout QTensor's output (N) dim up to a multiple.
+
+    The fused Pallas kernels tile N in 128-lane blocks (qmatmul's
+    `n % 128 == 0` gate); a vocab like GPT-J's 50400 otherwise silently
+    falls to the XLA-dequant path. Zero-padded columns decode to exactly
+    0.0 for every supported format (q=0 with zero-point handling is done
+    by the scale=0 rows for nib4-with-zero), so padded logits are 0 + any
+    bias the caller pads in (-1e30 keeps argmax/top-k away). Call BEFORE
+    params_repack_device. Returns (padded_qt, n_pad)."""
+    import jax.numpy as jnp
+    assert qt.interleaved_bk == 0 and qt.n_stack == 0, \
+        "pad before repacking/stacking"
+    npad = (-qt.n) % multiple
+    if npad == 0:
+        return qt, 0
+    pad = (jnp.pad if hasattr(qt.q, "devices") else np.pad)
+    q = pad(qt.q, ((0, 0), (0, npad)))
+    # scale rows 0 make padded columns decode to (q - zero) * 0 = 0 for
+    # kinds without bias; biased kinds also pad bias with 0
+    scale = None if qt.scale is None else pad(qt.scale, ((0, 0), (0, npad)))
+    bias = None if qt.bias is None else pad(qt.bias, ((0, 0), (0, npad)))
+    return (QTensor(qt.kind, q, scale, bias, qt.k, qt.n + npad,
+                    qt.ggml_type, qt.zero, 0, qt.q4_layout, qt.name), npad)
+
+
 def stack_layers(layers: list[dict]) -> dict:
     """Stack per-layer parameter dicts into one dict of stacked leaves:
     QTensor children gain a leading n_layer dim (n_stack tag), plain arrays

@@ -332,3 +332,47 @@ def test_int8_uorder_dequant_roundtrip(rng):
     ids = jnp.asarray(np.array([0, 7, 127]))
     rows = np.asarray(get_rows(qtu, ids, dtype=jnp.float32))
     assert np.abs(rows - ref.T[np.asarray(ids)]).max() < 1e-6
+
+
+@pytest.mark.parametrize("t,repacker", [("Q4_K", "natpair"),
+                                        ("Q5_K", "nat8")])
+def test_half_width_affine_storage(rng, t, repacker):
+    """scale_dtype=bf16 stores per-32 scales AND mins half-width (the wire
+    format keeps K-quant d/dmin in fp16, ggml-common.h:261-273) — the
+    device-residency fix for LLaMA-2 7B Q4_K_M. Kernel + XLA fallback must
+    stay within bf16 rounding of the f32-affine result."""
+    from ggml_imax_tpu.ops.pallas_qmm import (qmatmul_pallas,
+                                              repack_natpair_device,
+                                              repack_nat8_device)
+    from ggml_imax_tpu.ops.qmatmul import dequantize_xla
+    w = (rng.standard_normal((512, 256)) * 0.5).astype(np.float32)
+    qt = quantize_for_device(w, getattr(GGMLType, t))
+    ref_w = dequantize_qtensor(qt)
+    rp = repack_natpair_device if repacker == "natpair" else repack_nat8_device
+    qth = rp(qt, bk=512, scale_dtype=jnp.bfloat16)
+    assert qth.scale.dtype == jnp.bfloat16
+    assert qth.bias is not None and qth.bias.dtype == jnp.bfloat16
+
+    for m in (1, 64):                      # W4A8/W8A8 decode + W*A16 tiles
+        x = (rng.standard_normal((m, 512)) * 0.5).astype(np.float32)
+        got = np.asarray(qmatmul_pallas(jnp.asarray(x), qth))
+        assert nmse(got, x @ ref_w) < 2e-4, (t, m, nmse(got, x @ ref_w))
+    # XLA fallback dequant must also accept half-width affine storage
+    got_w = np.asarray(dequantize_xla(qth, dtype=jnp.float32))
+    assert nmse(got_w, ref_w) < 1e-4
+
+
+def test_params_repack_scale_dtype_covers_nat8(rng):
+    """params_repack_device(scale_dtype=...) must reach int8-kind leaves
+    (Q5_K/Q6_K in a Q4_K_M mix), not just nib4 natpair ones."""
+    from ggml_imax_tpu.ops.pallas_qmm import params_repack_device
+    p = {"a": quantize_for_device(
+            (rng.standard_normal((512, 128)) * 0.5).astype(np.float32),
+            GGMLType.Q4_K),
+         "b": quantize_for_device(
+            (rng.standard_normal((512, 128)) * 0.5).astype(np.float32),
+            GGMLType.Q6_K)}
+    r = params_repack_device(p, scale_dtype=jnp.bfloat16)
+    assert r["a"].scale.dtype == jnp.bfloat16
+    assert r["a"].bias.dtype == jnp.bfloat16
+    assert r["b"].scale.dtype == jnp.bfloat16

@@ -107,12 +107,13 @@ def llama_params(cfg, wtype):
     return p
 
 
-def measure(name, module, cfg, params, baseline_ms, n_ctx=512):
+def measure(name, module, cfg, params, baseline_ms, n_ctx=512,
+            scale_dtype=None):
     from ggml_imax_tpu.ops.pallas_qmm import params_repack_device
     if hasattr(module, "fuse_qkv") and any(
             "q_w" in l for l in params.get("layers", [{}])[:1]):
         params = module.fuse_qkv(params)
-    params = params_repack_device(params)
+    params = params_repack_device(params, scale_dtype=scale_dtype)
     jax.block_until_ready(jax.tree.leaves(params))
     cache = module.init_cache(cfg, batch=1, n_ctx=n_ctx, dtype=jnp.bfloat16)
     tok = jnp.ones((1, 1), jnp.int32)
@@ -178,8 +179,12 @@ def main():
         cfg = llama.LlamaConfig(n_vocab=32000, n_ctx=4096, n_embd=4096,
                                 n_head=32, n_head_kv=32, n_layer=32,
                                 n_ff=11008)
+        # half-width (bf16) scale+min storage keeps the ~4.3 GB image
+        # device-resident (f32 affine terms pushed it to ~5.3 GB -> host
+        # paging); the wire format itself stores d/dmin fp16
         measure("llama2-7b-q4_k", llama, cfg,
-                llama_params(cfg, GGMLType.Q4_K), baseline_ms=None)
+                llama_params(cfg, GGMLType.Q4_K), baseline_ms=None,
+                scale_dtype=jnp.bfloat16)
 
 
 if __name__ == "__main__":
