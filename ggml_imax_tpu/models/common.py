@@ -39,18 +39,29 @@ def _kv_group(head_dim: int) -> int:
 class KVCache:
     """k, v: (n_layer, B, n_ctx, n_kv_head, head_dim). For the q8_0
     residency k/v are int8 and ks/vs hold (..., head_dim // 32) f32 scales;
-    dense caches have ks = vs = None."""
+    dense caches have ks = vs = None.
+
+    Flat layout (heads != None): k/v are (n_layer, B, n_ctx, H * D) with the
+    head count kept as static metadata. This is the layout the stacked
+    decode path requires: on TPU a (..., H, D) -> (..., H*D) reshape changes
+    the physical (8, 128) tiling of the last two dims, so XLA materializes a
+    full relayout copy of the multi-hundred-MB arena — measured 16.7 ms/step
+    at GPT-J-6B geometry when it happened inside the scan-over-layers body.
+    Storing the arena flat makes the decode-attention kernel's view the
+    storage; per-head structure is recovered logically (read_kv) at a
+    per-layer cost that only prefill pays."""
     k: jax.Array
     v: jax.Array
     ks: Any = None
     vs: Any = None
+    heads: Any = None     # static: n_kv_head when flat, else None
 
     def tree_flatten(self):
-        return (self.k, self.v, self.ks, self.vs), None
+        return (self.k, self.v, self.ks, self.vs), self.heads
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, heads=aux)
 
     @property
     def n_ctx(self):
@@ -60,11 +71,21 @@ class KVCache:
     def quantized(self):
         return self.ks is not None
 
+    @property
+    def flat(self):
+        return self.heads is not None
+
+    @property
+    def head_dim(self):
+        return self.k.shape[-1] // self.heads if self.flat \
+            else self.k.shape[-1]
+
     def select_batch(self, idx):
         """Reorder/duplicate batch rows (beam reorder, whisper_pipeline)."""
         return KVCache(self.k[:, idx], self.v[:, idx],
                        None if self.ks is None else self.ks[:, idx],
-                       None if self.vs is None else self.vs[:, idx])
+                       None if self.vs is None else self.vs[:, idx],
+                       heads=self.heads)
 
 
 jax.tree_util.register_pytree_node(
@@ -72,15 +93,21 @@ jax.tree_util.register_pytree_node(
 
 
 def init_kv_cache(n_layer: int, batch: int, n_ctx: int, n_kv_head: int,
-                  head_dim: int, dtype=jnp.bfloat16) -> KVCache:
-    shape = (n_layer, batch, n_ctx, n_kv_head, head_dim)
+                  head_dim: int, dtype=jnp.bfloat16,
+                  flat: bool = False) -> KVCache:
+    heads = n_kv_head if flat else None
+    shape = (n_layer, batch, n_ctx, n_kv_head * head_dim) if flat \
+        else (n_layer, batch, n_ctx, n_kv_head, head_dim)
     if isinstance(dtype, str):
         assert dtype == "q8_0", dtype
-        sshape = shape[:-1] + (head_dim // _kv_group(head_dim),)
+        nsc = n_kv_head * (head_dim // _kv_group(head_dim)) if flat \
+            else head_dim // _kv_group(head_dim)
+        sshape = shape[:-1] + (nsc,)
         return KVCache(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
                        jnp.zeros(sshape, jnp.float32),
-                       jnp.zeros(sshape, jnp.float32))
-    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+                       jnp.zeros(sshape, jnp.float32), heads=heads)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                   heads=heads)
 
 
 def _q8_rows(x):
@@ -105,30 +132,52 @@ def _deq8(q, s, dtype):
 def read_kv(cache: KVCache, layer: int, dtype=jnp.bfloat16):
     """-> (k, v) dense (B, n_ctx, H, D) for attention. Dense caches return
     their arrays as-is (no copy); q8_0 caches expand in XLA, which fuses
-    the dequant into the attention reads."""
+    the dequant into the attention reads. Flat caches unflatten per layer
+    (a relayout copy on TPU — decode avoids it via the fused kernel in
+    ops/decode_attention.py; prefill amortizes it over T)."""
     if not cache.quantized:
-        return cache.k[layer], cache.v[layer]
-    return (_deq8(cache.k[layer], cache.ks[layer], dtype),
-            _deq8(cache.v[layer], cache.vs[layer], dtype))
+        k, v = cache.k[layer], cache.v[layer]
+    else:
+        # flat q8 grouping equals per-head grouping (D % group == 0), so
+        # dequantizing before or after unflattening is identical
+        k = _deq8(cache.k[layer], cache.ks[layer], dtype)
+        v = _deq8(cache.v[layer], cache.vs[layer], dtype)
+    if cache.flat:
+        b, t, hd = k.shape
+        h = cache.heads
+        k = k.reshape(b, t, h, hd // h)
+        v = v.reshape(b, t, h, hd // h)
+    return k, v
+
+
+def _flatten_new(cache: KVCache, x):
+    """(B, T, H, D) or (B, T, H, D//g) -> (B, T, H*last) when flat."""
+    if not cache.flat:
+        return x
+    b, t = x.shape[:2]
+    return x.reshape(b, t, -1)
 
 
 def update_kv(cache: KVCache, layer: int, k_new, v_new, n_past) -> KVCache:
     """Write k_new/v_new (B, T, H, D) at positions [n_past, n_past+T) of the
     given layer. n_past may be a traced scalar."""
-    zeros = (0, jnp.asarray(n_past, jnp.int32), 0, 0)
+    zeros = (0, jnp.asarray(n_past, jnp.int32), 0, 0)[:cache.k.ndim - 1]
     if cache.quantized:
         k8, kd = _q8_rows(k_new)
         v8, vd = _q8_rows(v_new)
+        k8, kd = _flatten_new(cache, k8), _flatten_new(cache, kd)
+        v8, vd = _flatten_new(cache, v8), _flatten_new(cache, vd)
         return KVCache(
             jax.lax.dynamic_update_slice(cache.k, k8[None], (layer,) + zeros),
             jax.lax.dynamic_update_slice(cache.v, v8[None], (layer,) + zeros),
             jax.lax.dynamic_update_slice(cache.ks, kd[None], (layer,) + zeros),
-            jax.lax.dynamic_update_slice(cache.vs, vd[None], (layer,) + zeros))
-    k = jax.lax.dynamic_update_slice(
-        cache.k, k_new.astype(cache.k.dtype)[None], (layer,) + zeros)
-    v = jax.lax.dynamic_update_slice(
-        cache.v, v_new.astype(cache.v.dtype)[None], (layer,) + zeros)
-    return KVCache(k, v)
+            jax.lax.dynamic_update_slice(cache.vs, vd[None], (layer,) + zeros),
+            heads=cache.heads)
+    k8 = _flatten_new(cache, k_new).astype(cache.k.dtype)
+    v8 = _flatten_new(cache, v_new).astype(cache.v.dtype)
+    k = jax.lax.dynamic_update_slice(cache.k, k8[None], (layer,) + zeros)
+    v = jax.lax.dynamic_update_slice(cache.v, v8[None], (layer,) + zeros)
+    return KVCache(k, v, heads=cache.heads)
 
 
 def update_kv_cells(cache: KVCache, layer: int, k_new, v_new, cells) -> KVCache:
@@ -140,13 +189,18 @@ def update_kv_cells(cache: KVCache, layer: int, k_new, v_new, cells) -> KVCache:
     if cache.quantized:
         k8, kd = _q8_rows(k_new)
         v8, vd = _q8_rows(v_new)
+        k8, kd = _flatten_new(cache, k8), _flatten_new(cache, kd)
+        v8, vd = _flatten_new(cache, v8), _flatten_new(cache, vd)
         return KVCache(cache.k.at[layer, b, cells].set(k8),
                        cache.v.at[layer, b, cells].set(v8),
                        cache.ks.at[layer, b, cells].set(kd),
-                       cache.vs.at[layer, b, cells].set(vd))
-    k = cache.k.at[layer, b, cells].set(k_new.astype(cache.k.dtype))
-    v = cache.v.at[layer, b, cells].set(v_new.astype(cache.v.dtype))
-    return KVCache(k, v)
+                       cache.vs.at[layer, b, cells].set(vd),
+                       heads=cache.heads)
+    k8 = _flatten_new(cache, k_new).astype(cache.k.dtype)
+    v8 = _flatten_new(cache, v_new).astype(cache.v.dtype)
+    k = cache.k.at[layer, b, cells].set(k8)
+    v = cache.v.at[layer, b, cells].set(v8)
+    return KVCache(k, v, heads=cache.heads)
 
 
 def cells_attention_mask(tok_pos, tok_seq, cell_pos, cell_seq_mask):

@@ -366,9 +366,9 @@ def _forward_stacked(cfg: GPTJConfig, params, tokens, positions, cache,
 
 
 def init_cache(cfg: GPTJConfig, batch: int = 1, n_ctx: int | None = None,
-               dtype=jnp.bfloat16) -> KVCache:
+               dtype=jnp.bfloat16, flat: bool = False) -> KVCache:
     return init_kv_cache(cfg.n_layer, batch, n_ctx or cfg.n_ctx,
-                         cfg.n_head, cfg.head_dim, dtype)
+                         cfg.n_head, cfg.head_dim, dtype, flat=flat)
 
 
 def forward(cfg: GPTJConfig, params, tokens, positions, cache: KVCache, n_past,

@@ -101,17 +101,28 @@ def _kernel(scale, g_rep, hkv, d, nb, quantized, *refs):
         o_ref[0] = acc[:] / jnp.maximum(l_s[:, :1], 1e-30)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def _decode_attn(li, q, k, v, ks, vs, mask, *, scale, interpret):
-    L, B, T, Hkv, D = k.shape
+@functools.partial(jax.jit, static_argnames=("hkv", "scale", "interpret"))
+def _decode_attn(li, q, k, v, ks, vs, mask, *, hkv, scale, interpret):
+    """k/v: (L, B, T, Hkv*D) flat arena (rank-5 (L, B, T, Hkv, D) accepted
+    but costs a full-arena relayout copy on TPU — always pass flat caches
+    on the hot path; see models.common.KVCache)."""
+    if k.ndim == 5:
+        L, B, T = k.shape[:3]
+        k = k.reshape(L, B, T, -1)
+        v = v.reshape(L, B, T, -1)
+        if ks is not None:
+            ks = ks.reshape(L, B, T, -1)
+            vs = vs.reshape(L, B, T, -1)
+    L, B, T, HD = k.shape
+    Hkv = hkv
+    D = HD // Hkv
     _, Hq, _ = q.shape
     g_rep = Hq // Hkv
     bk = _pick_bk(T)
     nb = D // 32 if ks is not None else 0
     quantized = ks is not None
 
-    k2 = k.reshape(L, B, T, Hkv * D)
-    v2 = v.reshape(L, B, T, Hkv * D)
+    k2, v2 = k, v
     m2 = jnp.maximum(jnp.asarray(mask, jnp.float32), NEG).reshape(B, 1, T)
 
     args = [q, k2, v2]
@@ -124,9 +135,7 @@ def _decode_attn(li, q, k, v, ks, vs, mask, *, scale, interpret):
                      memory_space=pltpu.VMEM),
     ]
     if quantized:
-        ks2 = ks.reshape(L, B, T, Hkv * nb)
-        vs2 = vs.reshape(L, B, T, Hkv * nb)
-        args += [ks2, vs2]
+        args += [ks, vs]
         in_specs += [
             pl.BlockSpec((1, 1, bk, Hkv * nb),
                          lambda b, kk, s: (s[0], b, kk, 0),
@@ -179,9 +188,10 @@ def decode_attention_stacked(cache, li, q, mask, *, scale=None,
         interpret = jax.devices()[0].platform != "tpu"
     scale = scale if scale is not None else 1.0 / math.sqrt(D)
     T = cache.k.shape[2]
+    hkv = cache.heads if cache.flat else cache.k.shape[3]
     m2 = jnp.broadcast_to(mask.reshape(B, -1)[:, -T:], (B, T)) \
         if mask is not None else jnp.zeros((B, T), jnp.float32)
     out = _decode_attn(li, q.reshape(B, Hq, D), cache.k, cache.v,
-                       cache.ks, cache.vs, m2, scale=float(scale),
+                       cache.ks, cache.vs, m2, hkv=hkv, scale=float(scale),
                        interpret=interpret)
     return out.reshape(B, 1, Hq, D)

@@ -1,0 +1,123 @@
+"""Stacked (scan-over-layers) decode path: flat KV arena + fused decode
+attention vs the per-layer reference path.
+
+The stacked path is the warmup/perf fix for deep models (one compiled layer
+body instead of n_layer copies; VERDICT.md r02 items 1-2): weights are
+stacked along a leading layer axis (quant.device.stack_layers), the KV cache
+is stored flat as (L, B, T, H*D) (models.common.KVCache, flat=True) so the
+decode-attention kernel's view IS the storage, and forward() scans one body
+over layers. These tests pin (a) flat-cache read/update semantics against
+the rank-5 layout, (b) the decode-attention kernel (interpret mode) against
+XLA attention, and (c) whole-model stacked-vs-unstacked logits parity.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ggml_imax_tpu.models import gptj
+from ggml_imax_tpu.models.common import (
+    init_kv_cache, read_kv, update_kv, update_kv_cells)
+from ggml_imax_tpu.ops.attention import attention_xla
+from ggml_imax_tpu.ops.decode_attention import decode_attention_stacked
+from ggml_imax_tpu.quant.formats import GGMLType
+
+L, B, T, H, D = 3, 2, 256, 2, 128
+
+
+def _filled_caches(dtype, rng):
+    """A flat and a rank-5 cache filled with identical data via update_kv."""
+    flat = init_kv_cache(L, B, T, H, D, dtype=dtype, flat=True)
+    full = init_kv_cache(L, B, T, H, D, dtype=dtype, flat=False)
+    for li in range(L):
+        k = jnp.asarray(rng.standard_normal((B, 5, H, D)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((B, 5, H, D)), jnp.bfloat16)
+        flat = update_kv(flat, li, k, v, 3)
+        full = update_kv(full, li, k, v, 3)
+    return flat, full
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, "q8_0"])
+def test_flat_cache_matches_rank5(rng, dtype):
+    flat, full = _filled_caches(dtype, rng)
+    assert flat.flat and not full.flat
+    assert flat.head_dim == full.head_dim == D
+    for li in range(L):
+        kf, vf = read_kv(flat, li)
+        k5, v5 = read_kv(full, li)
+        np.testing.assert_array_equal(np.asarray(kf), np.asarray(k5))
+        np.testing.assert_array_equal(np.asarray(vf), np.asarray(v5))
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, "q8_0"])
+def test_flat_cache_cells_and_select_batch(rng, dtype):
+    flat = init_kv_cache(L, B, T, H, D, dtype=dtype, flat=True)
+    full = init_kv_cache(L, B, T, H, D, dtype=dtype, flat=False)
+    k = jnp.asarray(rng.standard_normal((B, 4, H, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, 4, H, D)), jnp.bfloat16)
+    cells = jnp.asarray([[7, 9, 11, 2], [0, 5, 6, 1]], jnp.int32)
+    flat = update_kv_cells(flat, 1, k, v, cells)
+    full = update_kv_cells(full, 1, k, v, cells)
+    flat = flat.select_batch(jnp.asarray([1, 0]))
+    full = full.select_batch(jnp.asarray([1, 0]))
+    kf, vf = read_kv(flat, 1)
+    k5, v5 = read_kv(full, 1)
+    np.testing.assert_array_equal(np.asarray(kf), np.asarray(k5))
+    np.testing.assert_array_equal(np.asarray(vf), np.asarray(v5))
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, "q8_0"])
+@pytest.mark.parametrize("flat", [True, False])
+def test_decode_attention_kernel_vs_xla(rng, dtype, flat):
+    cache = init_kv_cache(L, B, T, H, D, dtype=dtype, flat=flat)
+    n_past = T - 1  # fill the whole context so every block is live
+    k = jnp.asarray(rng.standard_normal((B, n_past + 1, H, D)) * 0.3,
+                    jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, n_past + 1, H, D)) * 0.3,
+                    jnp.bfloat16)
+    for li in range(L):
+        cache = update_kv(cache, li, k, v, 0)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)) * 0.3, jnp.bfloat16)
+    pos = jnp.arange(T)[None, None, None, :]
+    mask = jnp.where(pos <= n_past, 0.0, -jnp.inf).astype(jnp.float32)
+    mask = jnp.broadcast_to(mask, (B, 1, 1, T))
+    for li in range(L):
+        got = decode_attention_stacked(cache, li, q, mask, interpret=True)
+        kd, vd = read_kv(cache, li, dtype=jnp.bfloat16)
+        ref = attention_xla(q, kd, vd, mask, out_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=2e-2)
+
+
+def _decode_tokens(cfg, params, cache, prompt, n_new):
+    toks = jnp.asarray(prompt, jnp.int32)[None]
+    pos = jnp.arange(toks.shape[1], dtype=jnp.int32)[None]
+    logits, cache = gptj.forward(cfg, params, toks, pos, cache, 0)
+    out = [int(jnp.argmax(logits[0, -1]))]
+    n_past = toks.shape[1]
+    for _ in range(n_new - 1):
+        tok = jnp.asarray([[out[-1]]], jnp.int32)
+        p = jnp.asarray([[n_past]], jnp.int32)
+        logits, cache = gptj.forward(cfg, params, tok, p, cache, n_past)
+        out.append(int(jnp.argmax(logits[0, -1])))
+        n_past += 1
+    return out, logits
+
+
+def test_stacked_forward_matches_unstacked():
+    cfg = gptj.GPTJConfig(n_vocab=160, n_ctx=256, n_embd=H * D, n_head=H,
+                          n_layer=L, n_rot=64)
+    params = gptj.synthetic_params_device(cfg, GGMLType.Q4_0, seed=7)
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+
+    ref_cache = gptj.init_cache(cfg, dtype="q8_0")
+    ref_toks, ref_logits = _decode_tokens(cfg, params, ref_cache, prompt, 6)
+
+    sp = gptj.stack_model(gptj.fuse_out(gptj.fuse_qkv(
+        gptj.synthetic_params_device(cfg, GGMLType.Q4_0, seed=7))))
+    st_cache = gptj.init_cache(cfg, dtype="q8_0", flat=True)
+    st_toks, st_logits = _decode_tokens(cfg, sp, st_cache, prompt, 6)
+
+    assert st_toks == ref_toks
+    np.testing.assert_allclose(np.asarray(st_logits), np.asarray(ref_logits),
+                               rtol=0, atol=0.25)

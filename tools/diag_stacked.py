@@ -51,7 +51,8 @@ jax.block_until_ready(params)
 print(f"stage+stack: {time.time()-t0:.1f}s "
       f"(ff={FUSE_FF} out={FUSE_OUT} kv={KV})")
 
-cache = gptj.init_cache(cfg, batch=1, n_ctx=512, dtype=KV)
+FLAT = "--no-flat" not in sys.argv
+cache = gptj.init_cache(cfg, batch=1, n_ctx=512, dtype=KV, flat=FLAT)
 tok = jnp.ones((1, 1), jnp.int32)
 
 
