@@ -1,0 +1,281 @@
+"""Tensor-parallel GPT-J decode: the single-chip fused fast path on shards.
+
+TPU-native replacement for the reference's single-host multi-GPU tensor
+parallelism (split-buffer weights + per-device partial GEMMs + peer-copy
+gathers: ggml_backend_cuda_split_buffer_type /root/reference/src/
+ggml-cuda.cu:680-945 and the ggml_cuda_op_mul_mat driver :1360-1660).
+Design differences, deliberately TPU-first:
+
+- Weights are sharded **component-wise at quant-block granularity** (the
+  analog of get_row_split's tile rounding, ggml-cuda.cu:659-672,580): the
+  fused qkvf/of layouts are column/row-PERMUTED once at load so a plain
+  GSPMD axis shard hands each device contiguous per-component slices whose
+  boundaries are multiples of the 32-element quant block (natpair packs
+  natural element pairs, so a 32-aligned element range is a contiguous
+  16-byte-row slab — no block is ever split).
+- Compute runs under jax.shard_map: every device executes the SAME
+  single-chip Pallas kernels (stacked W4A8 GEMV, fused decode attention)
+  on its local shard — heads for attention, feature slices for the MLP.
+- Communication is ONE jax.lax.psum per layer: GPT-J's parallel attn+FF
+  structure (examples/gpt-j/main.cpp:535) sums both row-parallel partials
+  into the residual in a single all-reduce of (B, T, E) f32, plus one
+  tiled all-gather of the column-sharded lm-head logits per step. The
+  reference needs a peer-copy gather per split matmul; here XLA rides ICI.
+
+Alignment requirements (asserted): E % (tp * head_dim) == 0 so heads split
+evenly, and padded vocab % (128 * tp) == 0 so each local lm-head shard
+keeps the fused kernel's 128-lane alignment (pad_lm_head(multiple=128*tp)).
+"""
+from __future__ import annotations
+
+from dataclasses import replace
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.common import (KVCache, attention_mask, init_kv_cache,
+                             update_kv)
+from ..quant.device import QTensor
+
+
+def _take(qt: QTensor, idx_elems: np.ndarray, axis: str) -> QTensor:
+    """Permute a (possibly stacked) natpair QTensor along columns (axis="n",
+    element indices = column indices) or contraction rows (axis="k", element
+    indices; q byte-row r holds elements 2r/2r+1 so ranges must be 2-aligned,
+    scale/bias rows are element//32 so ranges must be 32-aligned)."""
+    last = qt.q.ndim - 1
+    if axis == "n":
+        q = jnp.take(jnp.asarray(qt.q), jnp.asarray(idx_elems), axis=last)
+        s = jnp.take(jnp.asarray(qt.scale), jnp.asarray(idx_elems), axis=last)
+        b = None if qt.bias is None else \
+            jnp.take(jnp.asarray(qt.bias), jnp.asarray(idx_elems), axis=last)
+        return replace(qt, q=q, scale=s, bias=b)
+    assert axis == "k"
+    assert (idx_elems.reshape(-1, 32)[:, 0] % 32 == 0).all(), \
+        "k-permutation must move whole 32-element quant blocks"
+    rows_q = idx_elems.reshape(-1, 2)[:, 0] // 2     # byte-row indices
+    rows_s = idx_elems.reshape(-1, 32)[:, 0] // 32   # scale-row indices
+    ax = last - 1
+    q = jnp.take(jnp.asarray(qt.q), jnp.asarray(rows_q), axis=ax)
+    s = jnp.take(jnp.asarray(qt.scale), jnp.asarray(rows_s), axis=ax)
+    b = None if qt.bias is None else \
+        jnp.take(jnp.asarray(qt.bias), jnp.asarray(rows_s), axis=ax)
+    return replace(qt, q=q, scale=s, bias=b)
+
+
+def _dev_interleave(segments: list[tuple[int, int]], tp: int) -> np.ndarray:
+    """[(start, len), ...] global element segments -> permutation that lays
+    out [seg0_dev0, seg1_dev0, ..., seg0_dev1, ...]; every seg len % tp==0."""
+    out = []
+    for d in range(tp):
+        for start, ln in segments:
+            assert ln % tp == 0, (start, ln, tp)
+            w = ln // tp
+            out.append(np.arange(start + d * w, start + (d + 1) * w))
+    return np.concatenate(out)
+
+
+def shard_params_tp(params: dict, mesh: Mesh, cfg, axis: str = "tp"):
+    """Place fully-fused stacked GPT-J params (stack_model output with
+    qkvf_w + of_w) on the mesh for shard_map TP. Returns a params pytree
+    whose QTensor aux (k/n) is LOCAL so the same objects are consistent
+    inside the shard_map body, with globally-sharded arrays, plus the
+    matching in_specs pytree."""
+    tp = mesh.shape[axis]
+    E, H, D = cfg.n_embd, cfg.n_head, cfg.head_dim
+    F = 4 * E
+    st = params["stack"]
+    assert "qkvf_w" in st and "of_w" in st, \
+        "TP sharding expects the fully-fused stacked layout " \
+        "(GGML_FUSE_FF=1 fuse_qkv + fuse_out + stack_model)"
+    assert E % (tp * D) == 0, (E, tp, D)
+
+    def put(x, *spec):
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    def put_qt(qt, *spec):
+        return replace(
+            qt, q=put(qt.q, *spec), scale=put(qt.scale, *spec),
+            bias=None if qt.bias is None else put(qt.bias, *spec))
+
+    out = {"stack": {}}
+    specs = {"stack": {}}
+
+    # qkvf_w: columns [q|k|v|ff] -> per-device [q_d|k_d|v_d|ff_d]
+    perm_n = _dev_interleave([(0, E), (E, E), (2 * E, E), (3 * E, F)], tp)
+    qkvf = _take(st["qkvf_w"], perm_n, "n")
+    out["stack"]["qkvf_w"] = replace(
+        put_qt(qkvf, None, None, axis), n=qkvf.n // tp)
+    specs["stack"]["qkvf_w"] = P(None, None, axis)
+
+    # of_w: contraction rows [attn(E)|ff(4E)] -> [attn_d|ff_d] per device
+    perm_k = _dev_interleave([(0, E), (E, F)], tp)
+    of = _take(st["of_w"], perm_k, "k")
+    out["stack"]["of_w"] = replace(
+        put_qt(of, None, axis, None), k=of.k // tp)
+    specs["stack"]["of_w"] = P(None, axis, None)
+
+    # small stacked arrays
+    perm_f = _dev_interleave([(0, F)], tp)
+    for k, v in st.items():
+        if k in ("qkvf_w", "of_w"):
+            continue
+        assert not isinstance(v, QTensor), f"unexpected stacked QTensor {k}"
+        if k == "fc_in_b":
+            out["stack"][k] = put(jnp.asarray(v)[:, perm_f], None, axis)
+            specs["stack"][k] = P(None, axis)
+        else:
+            out["stack"][k] = put(v)
+            specs["stack"][k] = P()
+
+    # top level: lm head column-sharded, everything else replicated
+    for k, v in params.items():
+        if k == "stack":
+            continue
+        if k == "lmh_w":
+            assert v.n % (128 * tp) == 0, \
+                (v.n, tp, "pad_lm_head(multiple=128*tp) before sharding")
+            out[k] = replace(put_qt(v, None, axis), n=v.n // tp)
+            specs[k] = P(None, axis)
+        elif k == "lmh_b":
+            out[k] = put(jnp.asarray(v), axis)
+            specs[k] = P(axis)
+        elif isinstance(v, QTensor):
+            out[k] = put_qt(v)
+            specs[k] = P()
+        else:
+            out[k] = put(v)
+            specs[k] = P()
+    return out, specs
+
+
+def init_cache_tp(cfg, mesh: Mesh, batch: int = 1, n_ctx: int | None = None,
+                  dtype=jnp.bfloat16, axis: str = "tp") -> KVCache:
+    """Flat KV arena sharded over heads: global (L, B, T, H*D) with the last
+    dim split over tp (head boundaries are D-multiples, so a tp split at
+    (H/tp)*D is head-aligned). `heads` metadata is LOCAL so the shard_map
+    body's attention sees a consistent local cache."""
+    tp = mesh.shape[axis]
+    H = cfg.n_head
+    assert H % tp == 0, (H, tp)
+    cache = init_kv_cache(cfg.n_layer, batch, n_ctx or cfg.n_ctx, H,
+                          cfg.head_dim, dtype, flat=True)
+    spec = P(None, None, None, axis)
+    put = lambda x: None if x is None else \
+        jax.device_put(x, NamedSharding(mesh, spec))
+    return KVCache(put(cache.k), put(cache.v), put(cache.ks), put(cache.vs),
+                   heads=H // tp)
+
+
+def cache_spec(cache: KVCache, axis: str = "tp") -> KVCache:
+    """in_specs pytree for a TP-sharded flat KVCache (aux metadata must
+    mirror the actual cache for shard_map's pytree-prefix matching)."""
+    s = P(None, None, None, axis)
+    return KVCache(s, s, None if cache.ks is None else s,
+                   None if cache.vs is None else s, heads=cache.heads)
+
+
+def forward_tp(cfg, params, tokens, positions, cache: KVCache, n_past,
+               mesh: Mesh, specs: dict, axis: str = "tp"):
+    """TP forward over the stacked fused layout: shard_map body mirrors
+    models.gptj._forward_stacked with a single per-layer psum and a tiled
+    lm-head all-gather. Returns (full logits, updated sharded cache)."""
+    from ..ops.activations import gelu
+    from ..ops.flash_attention import attention
+    from ..ops.embedding import get_rows
+    from ..ops.norms import layer_norm
+    from ..ops.rope import rope
+    from ..ops.decode_attention import decode_attention_stacked
+    from ..ops.qmatmul import qmatmul, qmatmul_stacked, _force_fused
+    from ..models.common import read_kv
+
+    tp = mesh.shape[axis]
+    E, H, D = cfg.n_embd, cfg.n_head, cfg.head_dim
+    E_loc, H_loc = E // tp, H // tp
+    B, T = tokens.shape
+    on_tpu = jax.devices()[0].platform == "tpu"
+    use_kernel = T == 1 and D % 128 == 0 and (on_tpu or _force_fused)
+
+    def body(params, tokens, positions, cache, n_past):
+        st = params["stack"]
+        qts = {k: v for k, v in st.items() if isinstance(v, QTensor)}
+        small = {k: v for k, v in st.items() if not isinstance(v, QTensor)}
+        x = get_rows(params["wte"], tokens, dtype=jnp.float32)
+        mask = attention_mask(positions, cache.n_ctx, n_past)
+
+        def layer(carry, xs):
+            x, cache = carry
+            li, sm = xs
+            cur = layer_norm(x, sm["ln_1_g"], sm["ln_1_b"])
+            qkvf = qmatmul_stacked(cur, qts["qkvf_w"], li)
+            qkv = qkvf[..., :3 * E_loc].reshape(B, T, 3, H_loc, D)
+            q, kk, vv = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            ff_pre = qkvf[..., 3 * E_loc:]
+            q = rope(q, positions, n_dims=cfg.n_rot, mode=0)
+            kk = rope(kk, positions, n_dims=cfg.n_rot, mode=0)
+            cache2 = update_kv(cache, li, kk, vv, n_past)
+            if use_kernel:
+                attn = decode_attention_stacked(cache2, li, q, mask)
+            else:
+                attn = attention(q, *read_kv(cache2, li, dtype=q.dtype),
+                                 mask, out_dtype=jnp.float32)
+            attn = attn.reshape(B, T, E_loc)
+            ff = gelu(ff_pre + sm["fc_in_b"])
+            y = qmatmul_stacked(jnp.concatenate([attn, ff], axis=-1),
+                                qts["of_w"], li)
+            y = jax.lax.psum(y, axis)              # ONE all-reduce per layer
+            x = x + y + sm["fc_out_b"]
+            return (x, cache2), None
+
+        lis = jnp.arange(cfg.n_layer, dtype=jnp.int32)
+        (x, cache), _ = jax.lax.scan(layer, (x, cache), (lis, small))
+        x = layer_norm(x, params["ln_f_g"], params["ln_f_b"])
+        logits = qmatmul(x, params["lmh_w"], out_dtype=jnp.float32) \
+            + params["lmh_b"]
+        logits = jax.lax.all_gather(logits, axis, axis=logits.ndim - 1,
+                                    tiled=True)
+        return logits, cache
+
+    cspec = cache_spec(cache, axis)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(specs, P(), P(), cspec, P()),
+        out_specs=(P(), cspec),
+        check_vma=False)
+    logits, cache = fn(params, tokens, positions, cache,
+                       jnp.asarray(n_past, jnp.int32))
+    if params["lmh_w"].n * tp > cfg.n_vocab:       # pad_lm_head columns
+        logits = logits[..., :cfg.n_vocab]
+    return logits, cache
+
+
+def collective_volume_model(cfg, tp: int, *, batch: int = 1,
+                            hbm_gbps: float = 748.0,
+                            ici_gbps: float = 45.0) -> dict:
+    """Predicted TP scaling for quantized decode (the stand-in for the
+    multi-host >=80% gate that one chip cannot measure; BASELINE.md).
+
+    Per token: weights streamed per device = image/tp (HBM-bound);
+    collectives = n_layer ring all-reduces of (B, E) f32 partials
+    (2*(tp-1)/tp of the payload crosses ICI per device) + one tiled
+    all-gather of the (B, V/tp) local logits."""
+    E, L, V = cfg.n_embd, cfg.n_layer, cfg.n_vocab
+    layer_bytes = (3 * E + 4 * E) * E / 2 + (7 * E * E // 32) * 4 \
+        + (E + 4 * E) * E / 2 + (5 * E * E // 32) * 4
+    image = L * layer_bytes + V * E / 2 * 2        # + wte/lmh nib4
+    ar_bytes = L * batch * E * 4 * 2 * (tp - 1) / tp
+    ag_bytes = batch * (V / tp) * 4 * (tp - 1)
+    t_hbm = image / tp / (hbm_gbps * 1e9)
+    t_ici = (ar_bytes + ag_bytes) / (ici_gbps * 1e9)
+    t1 = image / (hbm_gbps * 1e9)
+    eff = t1 / tp / (t_hbm + t_ici)
+    return {"tp": tp, "image_bytes": int(image),
+            "per_device_bytes": int(image / tp),
+            "allreduce_bytes_per_tok": int(ar_bytes),
+            "allgather_bytes_per_tok": int(ag_bytes),
+            "t_step_ms": (t_hbm + t_ici) * 1e3,
+            "predicted_scaling_efficiency": eff}
