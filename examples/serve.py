@@ -9,10 +9,104 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from examples.common import gpt_argparser  # noqa: E402
 
 
+def bench(args):
+    """Serving benchmark: mixed prefill/decode continuous batching at
+    GPT-J-6B Q4_0 geometry (synthetic weights), staggered arrivals.
+    Prints ONE JSON line: aggregate decode tok/s + per-request p50 TTFT.
+    The TPU analog of main-batched.cpp's n_parallel throughput loop."""
+    import json
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).resolve().parents[1] / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from ggml_imax_tpu.models import gptj
+    from ggml_imax_tpu.quant.formats import GGMLType
+    from ggml_imax_tpu.runtime.batched import BatchedEngine
+
+    import os
+    n_req = args.n_parallel
+    tiny = os.environ.get("GGML_SERVE_BENCH_TINY") == "1"   # CPU CI smoke
+    n_ctx = args.ctx_size or (256 if tiny else 2048)
+    cfg = gptj.GPTJConfig(n_vocab=256 if tiny else 50400, n_ctx=n_ctx,
+                          n_embd=256 if tiny else 4096,
+                          n_head=8 if tiny else 16,
+                          n_layer=2 if tiny else 28,
+                          n_rot=32 if tiny else 64)
+    t0 = time.time()
+    params = gptj.synthetic_params_device(cfg, GGMLType.Q4_0, seed=0)
+    params = gptj.prepare_fused(params, cfg)
+    params = gptj.fuse_out(params)
+    from ggml_imax_tpu.ops.pallas_qmm import params_repack_device
+    params = params_repack_device(params)
+    jax.block_until_ready(params)
+    print(f"# staged 6B params in {time.time()-t0:.0f}s", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+
+    def workload(be):
+        """n_req staggered requests: 64-128-token prompts, 32 new tokens
+        each. Arrivals every 4 engine steps so prefill chunks and decode
+        rows mix in the same ubatches (continuous batching, not a static
+        batch)."""
+        t_start = time.perf_counter()
+        ttft, t_add = {}, {}
+        plo, phi, npred = (8, 17, 6) if tiny else (64, 128, 32)
+        queue = [(4 * i, int(rng.integers(plo, phi)), npred)
+                 for i in range(n_req)]
+        step_no = 0
+        while queue or any(not be.requests[rid].done for rid in t_add):
+            while queue and queue[0][0] <= step_no:
+                _, plen, np_ = queue.pop(0)
+                rid = be.add_request(
+                    list(rng.integers(0, cfg.n_vocab - 1, plen)), np_,
+                    temp=0.8, top_k=40, top_p=0.95, seed=step_no)
+                t_add[rid] = time.perf_counter()
+            be.step()
+            step_no += 1
+            for rid, t_a in t_add.items():
+                r = be.requests[rid]
+                if rid not in ttft and (r.out or r.next_tok is not None):
+                    ttft[rid] = time.perf_counter() - t_a
+        wall = time.perf_counter() - t_start
+        gen = sum(len(be.requests[rid].out) for rid in t_add)
+        return gen, wall, sorted(ttft.values())
+
+    be = BatchedEngine(gptj, cfg, params, n_ctx=n_ctx, kv_dtype="q8_0",
+                       on_device_sampling=True, seed=1)
+    t0 = time.time()
+    workload(be)                                    # warmup: compile buckets
+    print(f"# warmup (compile) {time.time()-t0:.0f}s", file=sys.stderr)
+    for rid in list(be.requests):
+        del be.requests[rid]
+    gen, wall, ttfts = workload(be)
+    p50 = ttfts[len(ttfts) // 2] if ttfts else float("nan")
+    print(json.dumps({
+        "metric": "serve_gptj6b_q4_0_tok_s",
+        "value": round(gen / wall, 2), "unit": "tok/s aggregate",
+        "n_requests": n_req, "generated": gen,
+        "p50_ttft_ms": round(p50 * 1e3, 1),
+        "wall_s": round(wall, 2)}))
+
+
 def main():
     ap = gpt_argparser("Parallel generation via continuous batching (GPT-2)")
-    ap.add_argument("-np", "--n_parallel", type=int, default=4)
+    ap.add_argument("-np", "--n_parallel", type=int, default=None)
+    ap.add_argument("--bench", action="store_true",
+                    help="serving benchmark at GPT-J-6B geometry "
+                         "(synthetic weights); prints one JSON line")
+    if "--bench" in sys.argv and not {"-m", "--model"} & set(sys.argv):
+        sys.argv += ["-m", "synthetic"]            # --bench needs no file
     args = ap.parse_args()
+    if args.bench:
+        args.n_parallel = args.n_parallel or 8
+        return bench(args)
+    args.n_parallel = args.n_parallel or 4
 
     import jax.numpy as jnp
     from ggml_imax_tpu.models import gpt2

@@ -58,20 +58,30 @@ def sample_greedy(logits) -> int:
     return int(np.argmax(np.asarray(logits)))
 
 
-def sample_device(logits, key, *, top_k: int = 40, top_p: float = 0.9,
-                  temp: float = 1.0):
-    """jit-friendly sampler. logits: (..., V). Returns int32 token ids (...)."""
-    lf = logits.astype(jnp.float32)
-    lf = lf / jnp.maximum(temp, 1e-6)
-    v = lf.shape[-1]
-    top_k = min(top_k, v)
+def sample_device(logits, key, *, top_k=40, top_p=0.9, temp=1.0,
+                  k_max: int | None = None):
+    """jit-friendly sampler. logits: (..., V). Returns int32 token ids (...).
 
-    vals, idx = jax.lax.top_k(lf, top_k)                     # sorted desc
+    top_k / top_p / temp may each be a Python scalar (engine-wide) or an
+    array broadcastable to logits[..., :1] (PER-ROW — the per-request
+    sampling params of the reference's batched serving loop, common.h:114 +
+    main-batched.cpp). A traced top_k is applied as a rank mask inside a
+    static lax.top_k window of k_max (default 64)."""
+    lf = logits.astype(jnp.float32)
+    lf = lf / jnp.maximum(jnp.asarray(temp, jnp.float32), 1e-6)
+    v = lf.shape[-1]
+
+    static_k = isinstance(top_k, int)
+    k_static = min(top_k if static_k else (k_max or 64), v)
+    vals, idx = jax.lax.top_k(lf, k_static)                  # sorted desc
+    if not static_k:
+        rank = jax.lax.broadcasted_iota(jnp.int32, vals.shape, vals.ndim - 1)
+        vals = jnp.where(rank < jnp.asarray(top_k, jnp.int32), vals, -jnp.inf)
     probs = jax.nn.softmax(vals, axis=-1)
-    if top_p < 1.0:
+    if not (isinstance(top_p, float) and top_p >= 1.0):
         cum = jnp.cumsum(probs, axis=-1)
         # keep tokens up to and including the one crossing top_p
-        keep = (cum - probs) < top_p
+        keep = (cum - probs) < jnp.asarray(top_p, jnp.float32)
         probs = jnp.where(keep, probs, 0.0)
     # Gumbel-max draw over the filtered set
     g = jax.random.gumbel(key, probs.shape)

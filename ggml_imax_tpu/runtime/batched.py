@@ -68,10 +68,13 @@ class BatchedEngine:
                  compute_dtype=jnp.bfloat16, kv_dtype=jnp.bfloat16,
                  on_device_sampling: bool = False, top_k: int = 40,
                  top_p: float = 0.9, seed: int = 0):
-        """on_device_sampling: sample inside the jitted step (per-row
-        temperature; engine-wide top_k/top_p) and return only token ids —
-        the host never fetches logits. Essential over slow host<->device
-        links; the reference keeps sampling on host (common.h:114)."""
+        """on_device_sampling: sample inside the jitted step with PER-REQUEST
+        temperature/top_k/top_p (a (3, nb) param row per token, matching the
+        reference's per-request sampler params, common.h:114-132) and return
+        only token ids — the host never fetches logits. Essential over slow
+        host<->device links. top_k here only sets the default k_max window
+        (traced per-row k is a rank mask inside a static top-k of
+        max(64, top_k))."""
         self.model = model_module
         self.cfg = cfg
         self.params = params
@@ -98,11 +101,13 @@ class BatchedEngine:
                                         cells=cells, mask=mask)
         self._step = jax.jit(step, donate_argnums=(7,))
 
-        def step_sampled(params, packed, temps, cache, key, nb):
+        def step_sampled(params, packed, samp, cache, key, nb):
             # packed: ONE int32 upload [tokens|positions|seqs|cells|
             # cell_pos|cell_seq] — a single host->device transfer per step
             # (each separate small upload costs a full round trip on
-            # tunneled runtimes)
+            # tunneled runtimes). samp: (3, nb) f32 per-ROW sampling params
+            # [temp; top_k; top_p] — per-request sampling like the
+            # reference's batched loop (common.h:114-132), not engine-wide.
             from ..ops.sampling import sample_device
             tokens = packed[0:nb][None]
             positions = packed[nb:2 * nb][None]
@@ -114,24 +119,33 @@ class BatchedEngine:
             logits, cache = step(params, tokens, positions, seqs, cells,
                                  cell_pos, cell_seq, cache)
             lg = logits[0].astype(jnp.float32)             # (nb, V)
+            temps, kks, pps = samp[0], samp[1], samp[2]
             greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-            drawn = sample_device(lg, key, top_k=top_k, top_p=top_p,
-                                  temp=jnp.maximum(temps, 1e-6)[:, None])
+            drawn = sample_device(lg, key,
+                                  top_k=kks.astype(jnp.int32)[:, None],
+                                  top_p=pps[:, None],
+                                  temp=jnp.maximum(temps, 1e-6)[:, None],
+                                  k_max=self._k_max)
             return jnp.where(temps <= 0, greedy, drawn), cache
+        self._k_max = max(64, top_k)
         self._step_sampled = jax.jit(step_sampled, donate_argnums=(3,),
                                      static_argnames=("nb",))
 
     # -- cell registry ------------------------------------------------------
     def _find_slot(self, n: int) -> int:
         """First-fit contiguous run of n free cells (llama.cpp find_slot
-        semantics, simplified)."""
-        free = self.cell_pos < 0
-        run = 0
-        for i in range(self.n_ctx):
-            run = run + 1 if free[i] else 0
-            if run == n:
-                return i - n + 1
-        raise RuntimeError("KV cache full")
+        semantics, simplified). Vectorized: a length-n window is all-free
+        iff the free-prefix-sum gains n over it — O(n_ctx) numpy, not an
+        O(n_ctx) Python loop per request per step."""
+        free = (self.cell_pos < 0).astype(np.int32)
+        if n == 1:
+            hits = np.flatnonzero(free)
+        else:
+            c = np.concatenate([[0], np.cumsum(free)])
+            hits = np.flatnonzero(c[n:] - c[:-n] == n)
+        if hits.size == 0:
+            raise RuntimeError("KV cache full")
+        return int(hits[0])
 
     def seq_cp(self, src_seq: int, dst_seq: int, p0: int = 0,
                p1: int | None = None):
@@ -245,9 +259,13 @@ class BatchedEngine:
         cells_arr = arr(cells, self.n_ctx, np.int32)
 
         if self.on_device_sampling:
-            temps = np.zeros(nb, np.float32)
+            samp = np.zeros((3, nb), np.float32)
+            samp[1] = 40.0
+            samp[2] = 0.9
             for r, row in sample_rows:
-                temps[row] = max(0.0, r.temp)
+                samp[0, row] = max(0.0, r.temp)
+                samp[1, row] = min(max(r.top_k, 1), self._k_max)
+                samp[2, row] = r.top_p
             self._step_no += 1
             key = jax.random.fold_in(self._key, self._step_no)
             packed = np.concatenate([
@@ -261,7 +279,7 @@ class BatchedEngine:
                 self.cell_seq.view(np.int32),
             ])
             toks_out, self.cache = self._step_sampled(
-                self.params, jnp.asarray(packed), jnp.asarray(temps),
+                self.params, jnp.asarray(packed), jnp.asarray(samp),
                 self.cache, key, nb=nb)
             ids = np.asarray(toks_out)                 # (nb,) int32 — tiny
             for r, row in sample_rows:

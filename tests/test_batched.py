@@ -125,6 +125,26 @@ def test_batched_on_device_sampling_stochastic(tiny):
     assert len(out) == 6 and all(0 <= t < cfg.n_vocab for t in out)
 
 
+def test_batched_per_request_sampling_params(tiny):
+    """On-device sampling honors PER-REQUEST top_k/top_p/temp in one ubatch
+    (the reference samples per request, common.h:114-132): a top_k=1 request
+    must follow the greedy path even at high temperature, concurrently with
+    a stochastic sibling and a temp=0 sibling."""
+    cfg, params = tiny
+    prompt = [3, 14, 15, 92, 6]
+    ref = greedy_reference(cfg, params, prompt, 6)
+    be = BatchedEngine(gpt2, cfg, params, compute_dtype=jnp.float32,
+                       kv_dtype=jnp.float32, on_device_sampling=True, seed=11)
+    r_k1 = be.add_request(prompt, 6, temp=3.0, top_k=1)
+    r_hot = be.add_request([8, 9], 6, temp=1.2, top_k=50, top_p=0.95)
+    r_greedy = be.add_request(prompt, 6, temp=0.0)
+    outs = be.run()
+    assert outs[r_k1] == ref, (outs[r_k1], ref)
+    assert outs[r_greedy] == ref
+    assert len(outs[r_hot]) == 6
+    assert all(0 <= t < cfg.n_vocab for t in outs[r_hot])
+
+
 def test_chunked_device_generate_matches_per_token(tiny):
     """Engine.generate(chunk=N) runs the decode loop on device (lax.scan +
     on-device sampling, one host fetch per span); greedy output must equal

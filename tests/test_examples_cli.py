@@ -109,3 +109,27 @@ def test_quantize_cli(tmp_path, rng):
     assert r.returncode == 0, r.stderr[-2000:]
     with GGUFReader(dst) as g:
         assert g.tensors["a.weight"].ggml_type == GGMLType.Q5_1
+
+
+def test_serve_bench_smoke(monkeypatch):
+    """`serve.py --bench` (the serving-throughput benchmark, reference
+    semantics main-batched.cpp) runs end to end in tiny CI geometry and
+    prints a parseable JSON line with aggregate tok/s + p50 TTFT."""
+    import json
+    import os
+    import subprocess
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import sys, runpy;"
+        f"sys.argv = ['serve.py', '--bench', '-np', '3'];"
+        f"runpy.run_path({str(REPO / 'examples/serve.py')!r},"
+        " run_name='__main__')"
+    )
+    env = dict(os.environ, GGML_SERVE_BENCH_TINY="1")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=400, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["metric"] == "serve_gptj6b_q4_0_tok_s"
+    assert rec["value"] > 0 and rec["p50_ttft_ms"] > 0
+    assert rec["n_requests"] == 3 and rec["generated"] == 3 * 6
