@@ -214,6 +214,34 @@ def main():
     print(f"# {n_meas} chained steps in {dt*1e3:.1f} ms (batch={batch})",
           file=sys.stderr)
 
+    # p50 TTFT (BASELINE.json metric string): prefill a 448-token prompt +
+    # first decode step + on-device argmax, compile-cached. Measured on the
+    # SAME executables a serving process would replay.
+    T = 448
+    toks_p = jnp.ones((batch, T), jnp.int32)
+    pos_p = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (batch, T))
+
+    @jax.jit
+    def prefill(params, toks, pos, cache):
+        logits, cache = gptj.forward(cfg, params, toks, pos, cache, 0)
+        return logits[:, -1].argmax(-1).astype(jnp.int32)[:, None], cache
+
+    t0 = time.time()
+    ftok, cache = prefill(params, toks_p, pos_p, cache)
+    _ = int(ftok[0, 0])
+    print(f"# prefill compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
+    ttfts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        ftok, cache = prefill(params, toks_p, pos_p, cache)
+        pos = jnp.full((batch, 1), T, jnp.int32)
+        ftok, cache = step(params, ftok, pos, cache, T)
+        _ = int(ftok[0, 0])
+        ttfts.append(time.perf_counter() - t0)
+    p50_ttft = sorted(ttfts)[len(ttfts) // 2]
+    print(f"# TTFT trials (ms): {[round(t*1e3, 1) for t in ttfts]}",
+          file=sys.stderr)
+
     name = "GPT-J-6B" if not small else "GPT-J-small"
     suffix = "" if batch == 1 else f" batch={batch}"
     print(json.dumps({
@@ -221,6 +249,8 @@ def main():
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / BASELINE_TOK_S, 2),
+        "p50_ttft_ms": round(p50_ttft * 1e3, 1),
+        "ttft_prompt_tokens": T,
     }))
 
 

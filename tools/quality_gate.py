@@ -236,19 +236,44 @@ def main():
         rows.append((f"{t.name} (our W4A16 path)", ppl, ppl - ppl_bf16, kl))
         print(f"# {t.name}: ppl {ppl:.3f} (delta {ppl-ppl_bf16:+.3f}, "
               f"KL {kl:.2e})", file=sys.stderr)
-        if t in (GGMLType.Q4_0, GGMLType.Q4_K):
+        # ggml W4A8-sim comparison + PASS/FAIL for EVERY format (the
+        # reference's activation-quant path applies to all of them —
+        # vec_dot_type table ggml.c:617-770)
+        qmm.set_activation_sim("w4a8")
+        try:
+            ppl_s, kl_s = eval_paths(cfg, qp, heldout,
+                                     compute_dtype=jnp.float32,
+                                     label=f"{t.name}-ggml",
+                                     ref_logits=ref_logits)
+        finally:
+            qmm.set_activation_sim(None)
+        ggml_sim_rows.append((f"{t.name} (ggml W4A8 sim)", ppl_s,
+                              ppl_s - ppl_bf16, kl_s))
+        print(f"# {t.name} ggml-sim: ppl {ppl_s:.3f} "
+              f"(delta {ppl_s-ppl_bf16:+.3f})", file=sys.stderr)
+        if t == GGMLType.Q4_0:
+            # reference bundle for the TPU-kernel-path row
+            # (tools/quality_tpu_row.py runs the REAL fused W4A8 decode
+            # kernels on the chip over the same window and compares)
+            np_path = Path(__file__).resolve().parents[1] / ".jax_cache" / \
+                "qgate_tpu_ref.npz"
+            toks1 = jnp.asarray(heldout[:CTX])[None]
+            pos1 = jnp.arange(CTX, dtype=jnp.int32)[None]
+            c1 = gpt2.init_cache(cfg, batch=1, n_ctx=CTX, dtype=jnp.float32)
             qmm.set_activation_sim("w4a8")
             try:
-                ppl_s, kl_s = eval_paths(cfg, qp, heldout,
-                                         compute_dtype=jnp.float32,
-                                         label=f"{t.name}-ggml",
-                                         ref_logits=ref_logits)
+                sim_logits, _ = gpt2.forward(cfg, qp, toks1, pos1, c1, 0,
+                                             compute_dtype=jnp.float32)
             finally:
                 qmm.set_activation_sim(None)
-            ggml_sim_rows.append((f"{t.name} (ggml W4A8 sim)", ppl_s,
-                                  ppl_s - ppl_bf16, kl_s))
-            print(f"# {t.name} ggml-sim: ppl {ppl_s:.3f} "
-                  f"(delta {ppl_s-ppl_bf16:+.3f})", file=sys.stderr)
+            import pickle
+            np.savez(np_path, heldout=heldout,
+                     sim_logits=np.asarray(sim_logits[0], np.float32),
+                     ppl_bf16=ppl_bf16)
+            (np_path.with_suffix(".params.pkl")).write_bytes(
+                pickle.dumps(jax.device_get(qp)))
+            print(f"# wrote TPU-row reference bundle {np_path}",
+                  file=sys.stderr)
 
     out = Path(__file__).resolve().parents[1] / "docs" / "QUALITY.md"
     with open(out, "w") as f:
