@@ -13,6 +13,15 @@ Subcommands:
   hlo [n_layer]      — count executable thunks (fusions/custom-calls) in
                        the compiled decode step: the dispatch-overhead
                        proxy.
+  stacked [...]      — one-process ablation sweep of the scan-over-layers
+                       decode (delegates to diag_stacked_combo.py:
+                       full/noupd/noattn/neither/xlaattn variants).
+  stacked-kernel     — stacked vs per-layer W4A8 GEMV kernel microbench
+                       (delegates to diag_stacked_kernel.py).
+  decode-attn        — decode-attention kernel + update_kv isolation over
+                       the flat arena (delegates to diag_decode_attn.py).
+  scan-gemv          — stacked-scan vs unstacked-loop GEMV bandwidth
+                       (delegates to diag_scan_gemv.py).
 """
 import json
 import os
@@ -172,6 +181,13 @@ def cmd_breakdown():
     print(json.dumps(results))
 
 
+_DELEGATES = {
+    "stacked": "diag_stacked_combo.py",
+    "stacked-kernel": "diag_stacked_kernel.py",
+    "decode-attn": "diag_decode_attn.py",
+    "scan-gemv": "diag_scan_gemv.py",
+}
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "warmup"
     if cmd == "warmup":
@@ -180,5 +196,10 @@ if __name__ == "__main__":
         cmd_hlo(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif cmd == "breakdown":
         cmd_breakdown()
+    elif cmd in _DELEGATES:
+        import runpy
+        target = Path(__file__).with_name(_DELEGATES[cmd])
+        sys.argv = [str(target)] + sys.argv[2:]
+        runpy.run_path(str(target), run_name="__main__")
     else:
         raise SystemExit(f"unknown subcommand {cmd}")
