@@ -303,6 +303,93 @@ def from_hf_state_dict(cfg: WhisperConfig, sd: dict,
     return p
 
 
+def synthetic_params_device(cfg: WhisperConfig,
+                            wtype: "GGMLType" = None,
+                            seed: int = 0, scale: float = 0.02):
+    """Random device-generated weights at full geometry — benchmarks only
+    (zero network egress, so no real checkpoints; timing is value-
+    independent). Mirrors gptj.synthetic_params_device: packed payloads are
+    fabricated with jax.random directly in device format, so nothing
+    multi-hundred-MB crosses the tunnel. Default wtype Q5_0 — the Whisper
+    secondary config of BASELINE.md."""
+    from ..quant.formats import GGMLType as GT
+    from ..quant.device import QTensor
+    wtype = wtype or GT.Q5_0
+    key = jax.random.key(seed)
+    counter = [0]
+
+    def nxt():
+        counter[0] += 1
+        return jax.random.fold_in(key, counter[0])
+
+    def q(shape_kn):
+        k, n = shape_kn
+        kq, ks2 = jax.random.split(nxt())
+        if wtype == GT.Q5_0:
+            qv = jax.random.randint(kq, (k, n), -16, 16, dtype=jnp.int8)
+            sc = jnp.abs(jax.random.normal(ks2, (k // 32, n),
+                                           jnp.float32)) * (scale / 9.2)
+            return QTensor("int8", qv, sc, None, k, n, wtype)
+        if wtype == GT.Q8_0:
+            qv = jax.random.randint(kq, (k, n), -127, 128, dtype=jnp.int8)
+            sc = jnp.abs(jax.random.normal(ks2, (k // 32, n),
+                                           jnp.float32)) * (scale / 74)
+            return QTensor("int8", qv, sc, None, k, n, wtype)
+        if wtype == GT.Q4_0:
+            qs = jax.random.randint(kq, (k // 2, n), 0, 256, dtype=jnp.uint8)
+            sc = jnp.abs(jax.random.normal(ks2, (k // 32, n),
+                                           jnp.float32)) * (scale / 4.6)
+            return QTensor("nib4", qs, sc, None, k, n, wtype, zero=8)
+        w = jax.random.normal(kq, (k, n), jnp.float32) * scale
+        return QTensor("dense", w.astype(jnp.bfloat16), None, None, k, n,
+                       wtype)
+
+    def vec(*shape):
+        return jax.random.normal(nxt(), shape, jnp.float32) * scale
+
+    E, Et, V = cfg.n_audio_state, cfg.n_text_state, cfg.n_vocab
+    p = {
+        "e_pe": vec(cfg.n_audio_ctx, E),
+        "e_conv1_w": vec(E, cfg.n_mels, 3),
+        "e_conv1_b": vec(1, E, 1),
+        "e_conv2_w": vec(E, E, 3),
+        "e_conv2_b": vec(1, E, 1),
+        "e_ln_g": vec(E) + 1.0, "e_ln_b": vec(E),
+        "d_te": q((Et, V)),
+        "d_pe": vec(cfg.n_text_ctx, Et),
+        "d_ln_g": vec(Et) + 1.0, "d_ln_b": vec(Et),
+        "enc_layers": [], "dec_layers": [],
+    }
+    for _ in range(cfg.n_audio_layer):
+        p["enc_layers"].append({
+            "ln0_g": vec(E) + 1.0, "ln0_b": vec(E),
+            "q_w": q((E, E)), "q_b": vec(E),
+            "k_w": q((E, E)),
+            "v_w": q((E, E)), "v_b": vec(E),
+            "o_w": q((E, E)), "o_b": vec(E),
+            "ln1_g": vec(E) + 1.0, "ln1_b": vec(E),
+            "mlp0_w": q((E, 4 * E)), "mlp0_b": vec(4 * E),
+            "mlp1_w": q((4 * E, E)), "mlp1_b": vec(E),
+        })
+    for _ in range(cfg.n_text_layer):
+        p["dec_layers"].append({
+            "ln0_g": vec(Et) + 1.0, "ln0_b": vec(Et),
+            "q_w": q((Et, Et)), "q_b": vec(Et),
+            "k_w": q((Et, Et)),
+            "v_w": q((Et, Et)), "v_b": vec(Et),
+            "o_w": q((Et, Et)), "o_b": vec(Et),
+            "xln_g": vec(Et) + 1.0, "xln_b": vec(Et),
+            "xq_w": q((Et, Et)), "xq_b": vec(Et),
+            "xk_w": q((Et, Et)),
+            "xv_w": q((Et, Et)), "xv_b": vec(Et),
+            "xo_w": q((Et, Et)), "xo_b": vec(Et),
+            "ln1_g": vec(Et) + 1.0, "ln1_b": vec(Et),
+            "mlp0_w": q((Et, 4 * Et)), "mlp0_b": vec(4 * Et),
+            "mlp1_w": q((4 * Et, Et)), "mlp1_b": vec(Et),
+        })
+    return p
+
+
 def _mm(x, w, compute_dtype, precision):
     return qmatmul(x, w, compute_dtype=compute_dtype, out_dtype=jnp.float32,
                    precision=precision)

@@ -150,8 +150,77 @@ def measure(name, module, cfg, params, baseline_ms, n_ctx=512,
         else round(baseline_ms / (best * 1e3), 1)}), flush=True)
 
 
+def measure_whisper(name, cfg, *, dec_tokens=64):
+    """Whisper encoder ms / 30 s chunk + decoder tok/s through the model's
+    encode / precompute_cross_kv / decode entry points (the per-phase
+    counters of the reference, whisper.cpp:790-803). Synthetic Q5_0 weights
+    at true geometry — the BASELINE.md secondary config."""
+    from ggml_imax_tpu.models import whisper as W
+    from ggml_imax_tpu.ops.pallas_qmm import params_repack_device
+
+    t0 = time.time()
+    params = params_repack_device(W.synthetic_params_device(cfg, seed=0))
+    jax.block_until_ready(jax.tree.leaves(params))
+    print(f"# {name}: staged in {time.time()-t0:.0f}s", file=sys.stderr)
+
+    mel = jax.random.normal(jax.random.key(1),
+                            (1, cfg.n_mels, 2 * cfg.n_audio_ctx),
+                            jnp.float32) * 0.5
+
+    @jax.jit
+    def enc_fn(params, mel):
+        enc = W.encode(cfg, params, mel)
+        return W.precompute_cross_kv(cfg, params, enc)
+
+    t0 = time.time()
+    cross = jax.block_until_ready(enc_fn(params, mel))
+    print(f"# {name}: encoder compile+first {time.time()-t0:.0f}s",
+          file=sys.stderr)
+    enc_best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        cross = enc_fn(params, mel)
+        jax.block_until_ready(cross)
+        dt = time.perf_counter() - t0
+        enc_best = dt if enc_best is None else min(enc_best, dt)
+
+    sot = jnp.full((1, 1), cfg.token_sot, jnp.int32)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def decode_n(params, tok, cache, cross, start, n):
+        def body(carry, i):
+            tok, cache = carry
+            pos = jnp.full((1, 1), start + i, jnp.int32)
+            logits, cache = W.decode(cfg, params, tok, pos, cache, cross,
+                                     start + i)
+            nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+            return (nxt, cache), ()
+        (tok, cache), _ = jax.lax.scan(body, (tok, cache), jnp.arange(n))
+        return tok, cache
+
+    cache = W.init_cache(cfg, batch=1)
+    t0 = time.time()
+    tok, cache = decode_n(params, sot, cache, cross, 0, n=dec_tokens)
+    _ = int(tok[0, 0])
+    print(f"# {name}: decoder compile+first {time.time()-t0:.0f}s",
+          file=sys.stderr)
+    dec_best = None
+    for rep in range(3):
+        t0 = time.perf_counter()
+        tok, cache = decode_n(params, tok, cache, cross,
+                              dec_tokens * (rep + 1), n=dec_tokens)
+        _ = int(tok[0, 0])
+        dt = (time.perf_counter() - t0) / dec_tokens
+        dec_best = dt if dec_best is None else min(dec_best, dt)
+    print(json.dumps({
+        "model": name,
+        "encode_ms_per_30s_chunk": round(enc_best * 1e3, 1),
+        "decode_ms_per_token": round(dec_best * 1e3, 3),
+        "decode_tok_s": round(1.0 / dec_best, 1)}), flush=True)
+
+
 def main():
-    from ggml_imax_tpu.models import gpt2, llama
+    from ggml_imax_tpu.models import gpt2, llama, whisper as W
     want = set(sys.argv[1:])
 
     def sel(n):
@@ -185,6 +254,20 @@ def main():
         measure("llama2-7b-q4_k", llama, cfg,
                 llama_params(cfg, GGMLType.Q4_K), baseline_ms=None,
                 scale_dtype=jnp.bfloat16)
+    if sel("whisper-small-q5_0"):
+        cfg = W.WhisperConfig(n_vocab=51865, n_audio_ctx=1500,
+                              n_audio_state=768, n_audio_head=12,
+                              n_audio_layer=12, n_text_ctx=448,
+                              n_text_state=768, n_text_head=12,
+                              n_text_layer=12, n_mels=80)
+        measure_whisper("whisper-small-q5_0", cfg)
+    if sel("whisper-medium-q5_0"):
+        cfg = W.WhisperConfig(n_vocab=51865, n_audio_ctx=1500,
+                              n_audio_state=1024, n_audio_head=16,
+                              n_audio_layer=24, n_text_ctx=448,
+                              n_text_state=1024, n_text_head=16,
+                              n_text_layer=24, n_mels=80)
+        measure_whisper("whisper-medium-q5_0", cfg)
 
 
 if __name__ == "__main__":
