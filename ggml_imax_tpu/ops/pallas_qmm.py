@@ -137,16 +137,24 @@ def params_repack_device(params, bk: int = DEFAULT_BK, scale_dtype=None):
     tensors get the natural-pair layout; per-16 keep plane-split.
     scale_dtype: see repack_natpair_device."""
     def conv(x):
-        if not isinstance(x, QTensor) or x.interleaved_bk != 0 \
-                or x.k % bk != 0:
+        if not isinstance(x, QTensor) or x.interleaved_bk != 0:
+            return x
+        # natpair/nat8 have no per-tile permutation, so the K-tile tag just
+        # has to divide K: shrink per tensor instead of silently skipping
+        # (whisper small/medium have K=768/1024 attention weights — a fixed
+        # bk=512 gate left every one of them on the slow XLA path)
+        bk_t = bk
+        while bk_t >= 64 and x.k % bk_t:
+            bk_t //= 2
+        if x.k % bk_t:
             return x
         if x.kind == "nib4":
             groups = x.scale.shape[0]
             if groups == x.k // 32 and x.zero in (0, 8):
-                return repack_natpair_device(x, bk, scale_dtype=scale_dtype)
-            return repack_interleaved_device(x, bk)
+                return repack_natpair_device(x, bk_t, scale_dtype=scale_dtype)
+            return repack_interleaved_device(x, bk_t)
         if x.kind == "int8" and x.k // x.scale.shape[0] in (16, 32):
-            return repack_nat8_device(x, bk, scale_dtype=scale_dtype)
+            return repack_nat8_device(x, bk_t, scale_dtype=scale_dtype)
         return x
 
     def walk(d):
