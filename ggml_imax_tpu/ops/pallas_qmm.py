@@ -284,6 +284,7 @@ def qmatmul_pallas(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
     if qt.q4_layout == 1:
         return _qmatmul_rowpair(x, qt, bn=bn, interpret=interpret)
     bk = qt.interleaved_bk
+    assert qt.k % bk == 0, (qt.k, bk)   # stale tag after reshard?
     nb = bk // 32
     k, n = qt.k, qt.n
     bn = min(bn, n)
@@ -345,6 +346,7 @@ def _qmatmul_rowpair(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
                      interpret: bool | None = None) -> jax.Array:
     """Row-pair int4-bitcast path (see repack_rowpair_device)."""
     bk = qt.interleaved_bk
+    assert qt.k % bk == 0, (qt.k, bk)   # stale tag after reshard?
     nb = bk // 32
     k, n = qt.k, qt.n
     bn = min(bn, n)
@@ -500,6 +502,7 @@ def _qmatmul_natpair(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
         return _qmatmul_natpair_w4a8(x, qt, bn=2048, interpret=interpret)
 
     bk = qt.interleaved_bk
+    assert qt.k % bk == 0, (qt.k, bk)   # stale tag after reshard?
     nb = bk // 32
     bn = min(bn, n)
     if n % bn:
@@ -859,6 +862,7 @@ def _qmatmul_nat8(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
         return out.reshape(*lead, n)
 
     bk = qt.interleaved_bk
+    assert qt.k % bk == 0, (qt.k, bk)   # stale tag after reshard?
     nb = bk // g
     bn = min(bn, n)
     if n % bn:
@@ -1068,6 +1072,7 @@ def qmatmul_natpair_w4a16_stacked(x: jax.Array, qt: QTensor, li,
     assert qt.n_stack > 0 and qt.q4_layout == 3
     k, n = qt.k, qt.n
     bk = qt.interleaved_bk
+    assert qt.k % bk == 0, (qt.k, bk)   # stale tag after reshard?
     nb = bk // 32
     bn = min(bn, n)
     if n % bn:
@@ -1272,6 +1277,7 @@ def qmatmul_nat8_stacked(x: jax.Array, qt: QTensor, li, *,
         return out.reshape(*lead, n)
 
     bk = qt.interleaved_bk
+    assert qt.k % bk == 0, (qt.k, bk)   # stale tag after reshard?
     nb = bk // g
     bn = min(bn, n)
     if n % bn:
@@ -1386,6 +1392,7 @@ def _kernel_int8(has_bias, g, *refs):
 def _qmatmul_int8(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
                   interpret: bool | None = None) -> jax.Array:
     bk = qt.interleaved_bk
+    assert qt.k % bk == 0, (qt.k, bk)   # stale tag after reshard?
     groups = qt.scale.shape[0]
     g = qt.k // groups
     nb = bk // g

@@ -93,6 +93,11 @@ def shard_params_tp(params: dict, mesh: Mesh, cfg, axis: str = "tp"):
         "TP sharding expects the fully-fused stacked layout " \
         "(GGML_FUSE_FF=1 fuse_qkv + fuse_out + stack_model)"
     assert E % (tp * D) == 0, (E, tp, D)
+    # per-device component widths must keep the fused kernels' 128-lane
+    # alignment, or local matmuls silently fall back to the XLA path and
+    # TP output drifts from single-device by activation-quant noise
+    assert E % (tp * 128) == 0, \
+        f"E/tp = {E}/{tp} breaks the n%128 fused-kernel gate"
 
     def put(x, *spec):
         return jax.device_put(x, NamedSharding(mesh, P(*spec)))
@@ -112,11 +117,19 @@ def shard_params_tp(params: dict, mesh: Mesh, cfg, axis: str = "tp"):
         put_qt(qkvf, None, None, axis), n=qkvf.n // tp)
     specs["stack"]["qkvf_w"] = P(None, None, axis)
 
-    # of_w: contraction rows [attn(E)|ff(4E)] -> [attn_d|ff_d] per device
+    # of_w: contraction rows [attn(E)|ff(4E)] -> [attn_d|ff_d] per device.
+    # The K-tile tag must divide the LOCAL k (natpair has no per-tile
+    # permutation, so retagging is free; leaving the global tag produced
+    # silently-wrong W4A16 tiling when k/tp was not a tag multiple).
     perm_k = _dev_interleave([(0, E), (E, F)], tp)
     of = _take(st["of_w"], perm_k, "k")
+    k_loc = of.k // tp
+    bk_loc = of.interleaved_bk
+    while bk_loc >= 64 and k_loc % bk_loc:
+        bk_loc //= 2
+    assert k_loc % bk_loc == 0, (k_loc, of.interleaved_bk)
     out["stack"]["of_w"] = replace(
-        put_qt(of, None, axis, None), k=of.k // tp)
+        put_qt(of, None, axis, None), k=k_loc, interleaved_bk=bk_loc)
     specs["stack"]["of_w"] = P(None, axis, None)
 
     # small stacked arrays
