@@ -159,7 +159,18 @@ def measure_whisper(name, cfg, *, dec_tokens=64):
     from ggml_imax_tpu.ops.pallas_qmm import params_repack_device
 
     t0 = time.time()
-    params = params_repack_device(W.synthetic_params_device(cfg, seed=0))
+    params = W.synthetic_params_device(cfg, seed=0)
+    # pad the tied embedding/lm-head's vocab dim to a 128 multiple so the
+    # decode GEMV takes the fused kernel (pad columns dequantize to 0 —
+    # zero scales — so they never beat a real logit by more than a tie)
+    from dataclasses import replace as _rp
+    te = params["d_te"]
+    vpad = (-te.n) % 128
+    if vpad:
+        params["d_te"] = _rp(
+            te, q=jnp.pad(te.q, ((0, 0), (0, vpad))),
+            scale=jnp.pad(te.scale, ((0, 0), (0, vpad))), n=te.n + vpad)
+    params = params_repack_device(params)
     jax.block_until_ready(jax.tree.leaves(params))
     print(f"# {name}: staged in {time.time()-t0:.0f}s", file=sys.stderr)
 
