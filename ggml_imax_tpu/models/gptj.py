@@ -301,7 +301,9 @@ def stack_model(params):
 
 def _forward_stacked(cfg: GPTJConfig, params, tokens, positions, cache,
                      n_past, *, compute_dtype, precision, cells, mask):
-    from ..ops.decode_attention import decode_attention_stacked
+    import os
+    from ..ops.decode_attention import (decode_attention_stacked,
+                                        decode_attention_update_stacked)
     from ..ops.qmatmul import qmatmul_stacked, _force_fused
     from ..quant.device import QTensor
     import jax
@@ -318,6 +320,10 @@ def _forward_stacked(cfg: GPTJConfig, params, tokens, positions, cache,
     on_tpu = jax.devices()[0].platform == "tpu"
     use_kernel = (T == 1 and cells is None and D % 128 == 0
                   and (on_tpu or _force_fused))
+    # fused KV-write + attention (ONE dispatch per layer, arena aliased in
+    # place — no XLA dynamic-update-slice on the scan carry); A/B via env
+    fused_upd = (use_kernel and cache.flat
+                 and os.environ.get("GGML_FUSED_KV_UPDATE", "1") == "1")
 
     def body(carry, xs):
         x, cache = carry
@@ -334,10 +340,14 @@ def _forward_stacked(cfg: GPTJConfig, params, tokens, positions, cache,
             q, kk, vv = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         q = rope(q, positions, n_dims=cfg.n_rot, mode=0)
         kk = rope(kk, positions, n_dims=cfg.n_rot, mode=0)
-        cache2 = update_kv(cache, li, kk, vv, n_past)
-        if use_kernel:
+        if fused_upd:
+            attn, cache2 = decode_attention_update_stacked(
+                cache, li, q, kk, vv, n_past, mask)
+        elif use_kernel:
+            cache2 = update_kv(cache, li, kk, vv, n_past)
             attn = decode_attention_stacked(cache2, li, q, mask)
         else:
+            cache2 = update_kv(cache, li, kk, vv, n_past)
             attn = attention(q, *read_kv(cache2, li, dtype=q.dtype), mask,
                              out_dtype=jnp.float32, precision=precision)
         attn = attn.reshape(B, T, E)

@@ -195,3 +195,277 @@ def decode_attention_stacked(cache, li, q, mask, *, scale=None,
                        cache.ks, cache.vs, m2, hkv=hkv, scale=float(scale),
                        interpret=interpret)
     return out.reshape(B, 1, Hq, D)
+
+
+# ---- fused KV-update + decode attention (single dispatch per layer) ----
+#
+# Replaces update_kv (XLA dynamic-update-slice on the carried arena) +
+# decode_attention_stacked with ONE kernel: the arena is passed through via
+# input_output_aliasing (explicit in-place contract — no XLA aliasing
+# heuristics on the scan carry), the new token's K/V row is written back
+# through a one-row output window, and its attention contribution is added
+# analytically from registers, so the arena itself is read once at its
+# stored width and only 2 rows (+ scales) are ever written.
+# The reference's decode path writes KV via ggml_cpy into cache views and
+# runs fattn-vec kernels over the cache (gpt-2 main-backend.cpp:529-535,
+# src/ggml-cuda/fattn.cu:500-514); this fuses both into one dispatch.
+
+
+def _kernel_upd(scale, g_rep, hkv, d, nb, quantized, *refs):
+    if quantized:
+        (s_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, kn_ref, vn_ref,
+         kns_ref, vns_ref, m_ref,
+         o_ref, ko_ref, vo_ref, kso_ref, vso_ref, acc, m_s, l_s) = refs
+    else:
+        (s_ref, q_ref, k_ref, v_ref, kn_ref, vn_ref, m_ref,
+         o_ref, ko_ref, vo_ref, acc, m_s, l_s) = refs
+    kk = pl.program_id(1)
+    n_past = s_ref[1]
+
+    @pl.when(kk == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        m_s[:] = jnp.full_like(m_s, NEG)
+        l_s[:] = jnp.zeros_like(l_s)
+        # one-row arena write-back (the out windows are constant across kk)
+        ko_ref[0, 0] = kn_ref[0]
+        vo_ref[0, 0] = vn_ref[0]
+        if quantized:
+            kso_ref[0, 0] = kns_ref[0]
+            vso_ref[0, 0] = vns_ref[0]
+
+    bkl = k_ref.shape[2]
+    mask = m_ref[0].astype(jnp.float32)                     # (1, BK)
+    # hard-exclude the n_past row from the arena pass: its stored contents
+    # are stale (this kernel carries the fresh row in kn/vn registers)
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, bkl), 1) + kk * bkl
+    mask = jnp.where(row == n_past, NEG, mask)
+    if quantized:
+        ed = jax.lax.broadcasted_iota(jnp.int32, (nb, d), 1) // 32
+        ej = jax.lax.broadcasted_iota(jnp.int32, (nb, d), 0)
+        expand = (ed == ej).astype(jnp.float32)
+    last = kk == pl.num_programs(1) - 1
+
+    for h in range(hkv):
+        if quantized:
+            ksb = ks_ref[0, 0, :, h * nb:(h + 1) * nb]      # (BK, nb) f32
+            vsb = vs_ref[0, 0, :, h * nb:(h + 1) * nb]
+            kb = (k_ref[0, 0, :, h * d:(h + 1) * d].astype(jnp.float32)
+                  * jnp.dot(ksb, expand)).astype(jnp.bfloat16)
+            vb = (v_ref[0, 0, :, h * d:(h + 1) * d].astype(jnp.float32)
+                  * jnp.dot(vsb, expand)).astype(jnp.bfloat16)
+            knh = (kn_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
+                   * jnp.dot(kns_ref[0, :, h * nb:(h + 1) * nb], expand)
+                   ).astype(jnp.bfloat16)                   # (1, D)
+            vnh = (vn_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
+                   * jnp.dot(vns_ref[0, :, h * nb:(h + 1) * nb], expand)
+                   ).astype(jnp.bfloat16)
+        else:
+            kb = k_ref[0, 0, :, h * d:(h + 1) * d]          # (BK, D) bf16
+            vb = v_ref[0, 0, :, h * d:(h + 1) * d]
+            knh = kn_ref[0, :, h * d:(h + 1) * d].astype(jnp.bfloat16)
+            vnh = vn_ref[0, :, h * d:(h + 1) * d].astype(jnp.bfloat16)
+        qh = q_ref[0, h * g_rep:(h + 1) * g_rep, :].astype(jnp.bfloat16)
+        s = jax.lax.dot_general(qh, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.maximum(s + mask, NEG)                      # (G, BK)
+
+        r = slice(h * g_rep, (h + 1) * g_rep)
+        m_prev = m_s[r, :1]                                 # (G, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_s[r, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(p.astype(jnp.bfloat16), vb,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_new = acc[r, :] * alpha + pv
+
+        def with_new(m_new=m_new, l_new=l_new, acc_new=acc_new, qh=qh,
+                     knh=knh, vnh=vnh, r=r):
+            # fold in the fresh token's contribution (always visible)
+            s_n = jax.lax.dot_general(qh, knh, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32
+                                      ) * scale              # (G, 1)
+            m2 = jnp.maximum(m_new, s_n)
+            a2 = jnp.exp(m_new - m2)
+            p_n = jnp.exp(s_n - m2)
+            acc2 = acc_new * a2 + p_n * vnh.astype(jnp.float32)
+            l2 = l_new * a2 + p_n
+            m_s[r, :1] = m2
+            l_s[r, :1] = l2
+            acc[r, :] = acc2
+
+        def without_new(m_new=m_new, l_new=l_new, acc_new=acc_new, r=r):
+            m_s[r, :1] = m_new
+            l_s[r, :1] = l_new
+            acc[r, :] = acc_new
+
+        # Python-level branch is not possible (last is traced); use when()
+        @pl.when(last)
+        def _():
+            with_new()
+
+        @pl.when(jnp.logical_not(last))
+        def _():
+            without_new()
+
+    @pl.when(last)
+    def _():
+        o_ref[0] = acc[:] / jnp.maximum(l_s[:, :1], 1e-30)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("hkv", "scale", "interpret"))
+def _decode_attn_upd(li, n_past, q, k, v, ks, vs, kn, vn, kns, vns, mask, *,
+                     hkv, scale, interpret):
+    """Fused update+attention over the flat (L, B, T, Hkv*D) arena.
+    kn/vn: (B, 1, Hkv*D) new rows (same storage dtype as the arena);
+    kns/vns: (B, 1, Hkv*nb) f32 scales for the q8_0 residency (None dense).
+    Returns (attn (B, Hq, D) f32, k', v'[, ks', vs']) with the arenas
+    aliased in place (only the n_past row is written)."""
+    L, B, T, HD = k.shape
+    Hkv = hkv
+    D = HD // Hkv
+    _, Hq, _ = q.shape
+    g_rep = Hq // Hkv
+    bk = _pick_bk(T)
+    nb = D // 32 if ks is not None else 0
+    quantized = ks is not None
+
+    m2 = jnp.maximum(jnp.asarray(mask, jnp.float32), NEG).reshape(B, 1, T)
+
+    args = [q, k, v]
+    in_specs = [
+        pl.BlockSpec((1, Hq, D), lambda b, kk, s: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, HD), lambda b, kk, s: (s[0], b, kk, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, HD), lambda b, kk, s: (s[0], b, kk, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if quantized:
+        args += [ks, vs]
+        in_specs += [
+            pl.BlockSpec((1, 1, bk, Hkv * nb),
+                         lambda b, kk, s: (s[0], b, kk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, Hkv * nb),
+                         lambda b, kk, s: (s[0], b, kk, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    args += [kn, vn]
+    in_specs += [
+        pl.BlockSpec((1, 1, HD), lambda b, kk, s: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, HD), lambda b, kk, s: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if quantized:
+        args += [kns, vns]
+        in_specs += [
+            pl.BlockSpec((1, 1, Hkv * nb), lambda b, kk, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hkv * nb), lambda b, kk, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    args.append(m2)
+    in_specs.append(pl.BlockSpec((1, 1, bk), lambda b, kk, s: (b, 0, kk),
+                                 memory_space=pltpu.VMEM))
+
+    # outputs: attn + aliased arenas written through ONE-ROW windows at
+    # (li, b, n_past, :) — constant across kk, flushed once per b
+    row_spec = pl.BlockSpec((1, 1, 1, HD),
+                            lambda b, kk, s: (s[0], b, s[1], 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = [
+        pl.BlockSpec((1, Hq, D), lambda b, kk, s: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        row_spec, row_spec,
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, Hq, D), jnp.float32),
+        jax.ShapeDtypeStruct(k.shape, k.dtype),
+        jax.ShapeDtypeStruct(v.shape, v.dtype),
+    ]
+    # aliased inputs: q is arg 1 in pallas_call (after the prefetch scalar);
+    # input_output_aliases indices COUNT the scalar-prefetch operand 0
+    aliases = {2: 1, 3: 2}
+    if quantized:
+        srow_spec = pl.BlockSpec((1, 1, 1, Hkv * nb),
+                                 lambda b, kk, s: (s[0], b, s[1], 0),
+                                 memory_space=pltpu.VMEM)
+        out_specs += [srow_spec, srow_spec]
+        out_shape += [jax.ShapeDtypeStruct(ks.shape, ks.dtype),
+                      jax.ShapeDtypeStruct(vs.shape, vs.dtype)]
+        aliases.update({4: 3, 5: 4})
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, T // bk),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((Hq, D), jnp.float32),
+            pltpu.VMEM((Hq, 128), jnp.float32),
+            pltpu.VMEM((Hq, 128), jnp.float32),
+        ],
+    )
+    kv_bytes = 2 * T * HD * (1 if quantized else 2) \
+        + (2 * T * Hkv * nb * 4 if quantized else 0)
+    outs = pl.pallas_call(
+        functools.partial(_kernel_upd, scale, g_rep, Hkv, D, nb, quantized),
+        grid_spec=gs,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hq * T * D,
+            bytes_accessed=B * (kv_bytes + Hq * D * 8 + T * 4),
+            transcendentals=B * Hq * T),
+        interpret=interpret,
+    )(jnp.stack([jnp.asarray(li, jnp.int32).reshape(()),
+                 jnp.asarray(n_past, jnp.int32).reshape(())]), *args)
+    return outs
+
+
+def decode_attention_update_stacked(cache, li, q, k_new, v_new, n_past,
+                                    mask, *, scale=None,
+                                    interpret: bool | None = None):
+    """Fused single-token KV write + attention over the stacked flat arena.
+    q/k_new/v_new: (B, 1, Hkv_or_Hq, D); mask: additive, broadcastable to
+    (B, 1, 1, n_ctx), already INCLUDING visibility of position n_past.
+    Returns (attn (B, 1, Hq, D) f32, updated KVCache) — the arena buffers
+    are aliased in place (pass a cache you own, e.g. a donated scan carry)."""
+    from ..models.common import KVCache, _q8_rows
+    assert cache.flat, "fused update kernel requires the flat arena layout"
+    B, Tq, Hq, D = q.shape
+    assert Tq == 1, "decode kernel is single-token only"
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    scale = scale if scale is not None else 1.0 / math.sqrt(D)
+    T = cache.k.shape[2]
+    hkv = cache.heads
+    m2 = jnp.broadcast_to(mask.reshape(B, -1)[:, -T:], (B, T)) \
+        if mask is not None else jnp.zeros((B, T), jnp.float32)
+    if cache.quantized:
+        k8, kd = _q8_rows(k_new)                  # (B,1,H,D) int8 / (B,1,H,nb)
+        v8, vd = _q8_rows(v_new)
+        kn = k8.reshape(B, 1, -1)
+        vn = v8.reshape(B, 1, -1)
+        kns = kd.reshape(B, 1, -1).astype(jnp.float32)
+        vns = vd.reshape(B, 1, -1).astype(jnp.float32)
+        attn, k2, v2, ks2, vs2 = _decode_attn_upd(
+            li, n_past, q.reshape(B, Hq, D), cache.k, cache.v, cache.ks,
+            cache.vs, kn, vn, kns, vns, m2, hkv=hkv, scale=float(scale),
+            interpret=interpret)
+        return (attn.reshape(B, 1, Hq, D),
+                KVCache(k2, v2, ks2, vs2, heads=cache.heads))
+    kn = k_new.reshape(B, 1, -1).astype(cache.k.dtype)
+    vn = v_new.reshape(B, 1, -1).astype(cache.v.dtype)
+    attn, k2, v2 = _decode_attn_upd(
+        li, n_past, q.reshape(B, Hq, D), cache.k, cache.v, None, None,
+        kn, vn, None, None, m2, hkv=hkv, scale=float(scale),
+        interpret=interpret)
+    return attn.reshape(B, 1, Hq, D), KVCache(k2, v2, heads=cache.heads)

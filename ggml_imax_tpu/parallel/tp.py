@@ -197,12 +197,14 @@ def forward_tp(cfg, params, tokens, positions, cache: KVCache, n_past,
     """TP forward over the stacked fused layout: shard_map body mirrors
     models.gptj._forward_stacked with a single per-layer psum and a tiled
     lm-head all-gather. Returns (full logits, updated sharded cache)."""
+    import os
     from ..ops.activations import gelu
     from ..ops.flash_attention import attention
     from ..ops.embedding import get_rows
     from ..ops.norms import layer_norm
     from ..ops.rope import rope
-    from ..ops.decode_attention import decode_attention_stacked
+    from ..ops.decode_attention import (decode_attention_stacked,
+                                        decode_attention_update_stacked)
     from ..ops.qmatmul import qmatmul, qmatmul_stacked, _force_fused
     from ..models.common import read_kv
 
@@ -212,6 +214,8 @@ def forward_tp(cfg, params, tokens, positions, cache: KVCache, n_past,
     B, T = tokens.shape
     on_tpu = jax.devices()[0].platform == "tpu"
     use_kernel = T == 1 and D % 128 == 0 and (on_tpu or _force_fused)
+    fused_upd = use_kernel and \
+        os.environ.get("GGML_FUSED_KV_UPDATE", "1") == "1"
 
     def body(params, tokens, positions, cache, n_past):
         st = params["stack"]
@@ -230,10 +234,14 @@ def forward_tp(cfg, params, tokens, positions, cache: KVCache, n_past,
             ff_pre = qkvf[..., 3 * E_loc:]
             q = rope(q, positions, n_dims=cfg.n_rot, mode=0)
             kk = rope(kk, positions, n_dims=cfg.n_rot, mode=0)
-            cache2 = update_kv(cache, li, kk, vv, n_past)
-            if use_kernel:
+            if fused_upd:
+                attn, cache2 = decode_attention_update_stacked(
+                    cache, li, q, kk, vv, n_past, mask)
+            elif use_kernel:
+                cache2 = update_kv(cache, li, kk, vv, n_past)
                 attn = decode_attention_stacked(cache2, li, q, mask)
             else:
+                cache2 = update_kv(cache, li, kk, vv, n_past)
                 attn = attention(q, *read_kv(cache2, li, dtype=q.dtype),
                                  mask, out_dtype=jnp.float32)
             attn = attn.reshape(B, T, E_loc)

@@ -121,3 +121,49 @@ def test_stacked_forward_matches_unstacked():
     assert st_toks == ref_toks
     np.testing.assert_allclose(np.asarray(st_logits), np.asarray(ref_logits),
                                rtol=0, atol=0.25)
+
+
+@pytest.mark.parametrize("kv", ["bf16", "q8_0"])
+def test_fused_update_attention_matches_two_step(kv):
+    """decode_attention_update_stacked (ONE kernel: row write + attention,
+    arena aliased) must match update_kv + decode_attention_stacked over
+    several steps, for both residencies."""
+    import math
+    from ggml_imax_tpu.models.common import (attention_mask, init_kv_cache,
+                                             update_kv)
+    from ggml_imax_tpu.ops.decode_attention import (
+        decode_attention_stacked, decode_attention_update_stacked)
+
+    L, B, T, H, D = 3, 2, 256, 2, 128
+    dt = jnp.bfloat16 if kv == "bf16" else "q8_0"
+    c_ref = init_kv_cache(L, B, T, H, D, dt, flat=True)
+    c_fus = init_kv_cache(L, B, T, H, D, dt, flat=True)
+    rng = np.random.default_rng(0)
+
+    for step in range(3):
+        n_past = step
+        pos = jnp.full((B, 1), n_past, jnp.int32)
+        mask = attention_mask(pos, T, n_past)
+        for li in range(L):
+            q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+            kn = jnp.asarray(rng.standard_normal((B, 1, H, D)) * 0.5,
+                             jnp.float32)
+            vn = jnp.asarray(rng.standard_normal((B, 1, H, D)) * 0.5,
+                             jnp.float32)
+            c_ref2 = update_kv(c_ref, li, kn, vn, n_past)
+            a_ref = decode_attention_stacked(c_ref2, li, q, mask)
+            a_fus, c_fus = decode_attention_update_stacked(
+                c_fus, li, q, kn, vn, n_past, mask)
+            np.testing.assert_allclose(np.asarray(a_fus), np.asarray(a_ref),
+                                       rtol=2e-3, atol=2e-3)
+            if li == L - 1:
+                c_ref = c_ref2
+            else:
+                c_ref = c_ref2
+        np.testing.assert_allclose(
+            np.asarray(c_fus.k).astype(np.float32),
+            np.asarray(c_ref.k).astype(np.float32), rtol=1e-2, atol=1e-2)
+        if kv == "q8_0":
+            np.testing.assert_allclose(np.asarray(c_fus.ks),
+                                       np.asarray(c_ref.ks),
+                                       rtol=1e-5, atol=1e-6)
