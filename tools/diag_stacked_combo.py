@@ -40,7 +40,9 @@ from ggml_imax_tpu.quant.formats import GGMLType
 NL = int(sys.argv[1]) if len(sys.argv) > 1 else 28
 NCTX = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 VARIANTS = sys.argv[3].split(",") if len(sys.argv) > 3 else [
-    "full", "noupd", "noattn", "neither", "xlaattn"]
+    "full", "twostep", "noupd", "noattn", "neither", "xlaattn"]
+# full    = fused KV-write+attention kernel (production default)
+# twostep = XLA dynamic-update-slice + read-only attention kernel (r02 path)
 
 EMBD = int(os.environ.get("GGML_DIAG_EMBD", "4096"))
 VOCAB = int(os.environ.get("GGML_DIAG_VOCAB", "50400"))
@@ -71,6 +73,7 @@ def set_variant(name):
     da.decode_attention_stacked = _real_attn
     import ggml_imax_tpu.ops.qmatmul as qm
     qm._force_fused = False
+    os.environ["GGML_FUSED_KV_UPDATE"] = "1" if name == "full" else "0"
     force_xla = False
     if name in ("noupd", "neither"):
         fake_upd = lambda cache, li, k, v, n_past: cache
