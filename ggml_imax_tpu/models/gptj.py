@@ -310,6 +310,9 @@ def _forward_stacked(cfg: GPTJConfig, params, tokens, positions, cache,
 
     B, T = tokens.shape
     H, D, E = cfg.n_head, cfg.head_dim, cfg.n_embd
+    assert cells is None, \
+        "stacked decode uses contiguous KV writes; use unstacked params " \
+        "for the celled (continuous-batching) path"
     st = params["stack"]
     qts = {k: v for k, v in st.items() if isinstance(v, QTensor)}
     small = {k: v for k, v in st.items() if not isinstance(v, QTensor)}

@@ -158,15 +158,119 @@ def fuse_qkv(params):
     return out
 
 
+def fuse_gate_up(params):
+    """Concatenate gate/up ((E,F)+(E,F)) into one (E, 2F) GEMV per layer
+    (LLaMA's SwiGLU reads the same normed input for both; one weight
+    stream instead of two). Call BEFORE params_repack_device."""
+    from ..quant.device import concat_qtensors
+    out = dict(params)
+    out["layers"] = []
+    for lp in params["layers"]:
+        lp = dict(lp)
+        lp["gu_w"] = concat_qtensors([lp.pop("gate_w"), lp.pop("up_w")])
+        out["layers"].append(lp)
+    return out
+
+
+def prepare_fused(params, cfg=None):
+    """Decode fast-path prep: fuse_qkv + fuse_gate_up (Engine
+    residency='q4-fused' hook, same contract as gptj.prepare_fused)."""
+    return fuse_gate_up(fuse_qkv(params))
+
+
+def stack_model(params):
+    """Fused+repacked params -> stacked decode layout (lax.scan over ONE
+    compiled layer body; see gptj.stack_model)."""
+    from ..quant.device import stack_layers
+    out = dict(params)
+    out["stack"] = stack_layers(out.pop("layers"))
+    return out
+
+
+def _forward_stacked(cfg: LlamaConfig, params, tokens, positions, cache,
+                     n_past, *, compute_dtype, precision, cells, mask):
+    import os
+    import jax
+    from ..ops.decode_attention import (decode_attention_stacked,
+                                        decode_attention_update_stacked)
+    from ..ops.qmatmul import qmatmul_stacked, _force_fused
+    from ..quant.device import QTensor
+
+    B, T = tokens.shape
+    H, Hkv, D, E = cfg.n_head, cfg.n_head_kv, cfg.head_dim, cfg.n_embd
+    F = params["stack"]["gu_w"].n // 2 if "gu_w" in params["stack"] else None
+    assert cells is None, \
+        "stacked decode uses contiguous KV writes; use unstacked params " \
+        "for the celled (continuous-batching) path"
+    st = params["stack"]
+    qts = {k: v for k, v in st.items() if isinstance(v, QTensor)}
+    small = {k: v for k, v in st.items() if not isinstance(v, QTensor)}
+    assert "qkv_w" in qts and "gu_w" in qts, \
+        "stacked llama needs fuse_qkv + fuse_gate_up"
+    rope_args = dict(n_dims=D, mode=cfg.rope_mode, freq_base=cfg.rope_base,
+                     freq_scale=cfg.rope_scale)
+
+    x = get_rows(params["tok_embd"], tokens, dtype=jnp.float32)
+    if mask is None:
+        mask = attention_mask(positions, cache.n_ctx, n_past)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    use_kernel = (T == 1 and cells is None and D % 128 == 0
+                  and (on_tpu or _force_fused))
+    fused_upd = (use_kernel and cache.flat
+                 and os.environ.get("GGML_FUSED_KV_UPDATE", "1") == "1")
+
+    def body(carry, xs):
+        x, cache = carry
+        li, sm = xs
+        cur = rms_norm(x, sm["attn_norm"], eps=cfg.rms_eps)
+        qkv = qmatmul_stacked(cur, qts["qkv_w"], li)
+        q = qkv[..., :E].reshape(B, T, H, D)
+        kk = qkv[..., E:E + Hkv * D].reshape(B, T, Hkv, D)
+        vv = qkv[..., E + Hkv * D:].reshape(B, T, Hkv, D)
+        q = rope(q, positions, **rope_args)
+        kk = rope(kk, positions, **rope_args)
+        if fused_upd:
+            attn, cache2 = decode_attention_update_stacked(
+                cache, li, q, kk, vv, n_past, mask)
+        elif use_kernel:
+            cache2 = update_kv(cache, li, kk, vv, n_past)
+            attn = decode_attention_stacked(cache2, li, q, mask)
+        else:
+            cache2 = update_kv(cache, li, kk, vv, n_past)
+            attn = attention(q, *read_kv(cache2, li, dtype=q.dtype), mask,
+                             out_dtype=jnp.float32, precision=precision)
+        x = x + qmatmul_stacked(attn.reshape(B, T, E), qts["o_w"], li)
+        cur = rms_norm(x, sm["ffn_norm"], eps=cfg.rms_eps)
+        gu = qmatmul_stacked(cur, qts["gu_w"], li)
+        ff = silu(gu[..., :F]) * gu[..., F:]
+        x = x + qmatmul_stacked(ff, qts["down_w"], li)
+        return (x, cache2), None
+
+    lis = jnp.arange(cfg.n_layer, dtype=jnp.int32)
+    (x, cache), _ = jax.lax.scan(body, (x, cache), (lis, small))
+    x = rms_norm(x, params["out_norm"], eps=cfg.rms_eps)
+    head = params["output"] if params.get("output") is not None \
+        else params["tok_embd"]
+    logits = qmatmul(x, head, compute_dtype=compute_dtype,
+                     out_dtype=jnp.float32, precision=precision)
+    if head.n > cfg.n_vocab:                      # padded head columns
+        logits = logits[..., :cfg.n_vocab]
+    return logits, cache
+
+
 def init_cache(cfg: LlamaConfig, batch: int = 1, n_ctx: int | None = None,
-               dtype=jnp.bfloat16) -> KVCache:
+               dtype=jnp.bfloat16, flat: bool = False) -> KVCache:
     return init_kv_cache(cfg.n_layer, batch, n_ctx or cfg.n_ctx,
-                         cfg.n_head_kv, cfg.head_dim, dtype)
+                         cfg.n_head_kv, cfg.head_dim, dtype, flat=flat)
 
 
 def forward(cfg: LlamaConfig, params, tokens, positions, cache: KVCache, n_past,
             *, compute_dtype=jnp.bfloat16, precision=None,
             cells=None, mask=None):
+    if "stack" in params:
+        return _forward_stacked(cfg, params, tokens, positions, cache,
+                                n_past, compute_dtype=compute_dtype,
+                                precision=precision, cells=cells, mask=mask)
     B, T = tokens.shape
     H, Hkv, D, E = cfg.n_head, cfg.n_head_kv, cfg.head_dim, cfg.n_embd
 

@@ -108,14 +108,23 @@ def llama_params(cfg, wtype):
 
 
 def measure(name, module, cfg, params, baseline_ms, n_ctx=512,
-            scale_dtype=None):
+            scale_dtype=None, stacked=False):
     from ggml_imax_tpu.ops.pallas_qmm import params_repack_device
-    if hasattr(module, "fuse_qkv") and any(
-            "q_w" in l for l in params.get("layers", [{}])[:1]):
-        params = module.fuse_qkv(params)
-    params = params_repack_device(params, scale_dtype=scale_dtype)
+    if stacked:
+        # scan-over-layers decode (one compiled layer body + fused
+        # KV-write/attention kernel) — the warmup/executable-size fix
+        params = module.prepare_fused(params)
+        params = params_repack_device(params, scale_dtype=scale_dtype)
+        params = module.stack_model(params)
+    else:
+        if hasattr(module, "fuse_qkv") and any(
+                "q_w" in l for l in params.get("layers", [{}])[:1]):
+            params = module.fuse_qkv(params)
+        params = params_repack_device(params, scale_dtype=scale_dtype)
     jax.block_until_ready(jax.tree.leaves(params))
-    cache = module.init_cache(cfg, batch=1, n_ctx=n_ctx, dtype=jnp.bfloat16)
+    cache = module.init_cache(cfg, batch=1, n_ctx=n_ctx, dtype=jnp.bfloat16,
+                              flat=stacked) if stacked else \
+        module.init_cache(cfg, batch=1, n_ctx=n_ctx, dtype=jnp.bfloat16)
     tok = jnp.ones((1, 1), jnp.int32)
 
     @partial(jax.jit, static_argnames=("n",))
@@ -265,6 +274,13 @@ def main():
         measure("llama2-7b-q4_k", llama, cfg,
                 llama_params(cfg, GGMLType.Q4_K), baseline_ms=None,
                 scale_dtype=jnp.bfloat16)
+    if sel("llama2-7b-q4_k-stacked"):
+        cfg = llama.LlamaConfig(n_vocab=32000, n_ctx=4096, n_embd=4096,
+                                n_head=32, n_head_kv=32, n_layer=32,
+                                n_ff=11008)
+        measure("llama2-7b-q4_k-stacked", llama, cfg,
+                llama_params(cfg, GGMLType.Q4_K), baseline_ms=None,
+                scale_dtype=jnp.bfloat16, stacked=True)
     if sel("whisper-small-q5_0"):
         cfg = W.WhisperConfig(n_vocab=51865, n_audio_ctx=1500,
                               n_audio_state=768, n_audio_head=12,
