@@ -145,16 +145,101 @@ def from_hf_state_dict(cfg: GPT2Config, sd: dict, wtype: GGMLType = GGMLType.F32
     return params
 
 
+def prepare_fused(params, cfg=None):
+    """Decode fast-path prep (Engine residency='q4-fused' hook): GPT-2's
+    attn_w is already the fused (E, 3E) QKV, so nothing to fuse — exists
+    for interface parity with gptj/llama (stack_model expects it first)."""
+    return params
+
+
+def stack_model(params):
+    """Params -> stacked decode layout (lax.scan over ONE compiled layer
+    body; see gptj.stack_model). Call AFTER params_repack_device."""
+    from ..quant.device import stack_layers
+    out = dict(params)
+    out["stack"] = stack_layers(out.pop("layers"))
+    return out
+
+
+def _forward_stacked(cfg: GPT2Config, params, tokens, positions, cache,
+                     n_past, *, compute_dtype, precision, cells, mask):
+    import os
+    import jax
+    from ..ops.decode_attention import (decode_attention_stacked,
+                                        decode_attention_update_stacked)
+    from ..ops.qmatmul import qmatmul_stacked, _force_fused
+    from ..quant.device import QTensor
+
+    B, T = tokens.shape
+    H, D, E = cfg.n_head, cfg.head_dim, cfg.n_embd
+    assert cells is None, \
+        "stacked decode uses contiguous KV writes; use unstacked params " \
+        "for the celled (continuous-batching) path"
+    st = params["stack"]
+    qts = {k: v for k, v in st.items() if isinstance(v, QTensor)}
+    small = {k: v for k, v in st.items() if not isinstance(v, QTensor)}
+
+    x = get_rows(params["wte"], tokens, dtype=jnp.float32)
+    x = x + params["wpe"][positions]
+    if mask is None:
+        mask = attention_mask(positions, cache.n_ctx, n_past)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    use_kernel = (T == 1 and D % 128 == 0 and (on_tpu or _force_fused))
+    fused_upd = (use_kernel and cache.flat
+                 and os.environ.get("GGML_FUSED_KV_UPDATE", "1") == "1")
+
+    def body(carry, xs):
+        x, cache = carry
+        li, sm = xs
+        cur = layer_norm(x, sm["ln_1_g"], sm["ln_1_b"])
+        qkv = qmatmul_stacked(cur, qts["attn_w"], li) + sm["attn_b"]
+        q, kk, vv = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, T, H, D)
+        kk = kk.reshape(B, T, H, D)
+        vv = vv.reshape(B, T, H, D)
+        if fused_upd:
+            attn, cache2 = decode_attention_update_stacked(
+                cache, li, q, kk, vv, n_past, mask)
+        elif use_kernel:
+            cache2 = update_kv(cache, li, kk, vv, n_past)
+            attn = decode_attention_stacked(cache2, li, q, mask)
+        else:
+            cache2 = update_kv(cache, li, kk, vv, n_past)
+            attn = attention(q, *read_kv(cache2, li, dtype=q.dtype), mask,
+                             out_dtype=jnp.float32, precision=precision)
+        attn = attn.reshape(B, T, E)
+        x = x + qmatmul_stacked(attn, qts["proj_w"], li) + sm["proj_b"]
+        cur = layer_norm(x, sm["ln_2_g"], sm["ln_2_b"])
+        cur = gelu(qmatmul_stacked(cur, qts["fc_w"], li) + sm["fc_b"])
+        x = x + qmatmul_stacked(cur, qts["out_w"], li) + sm["out_b"]
+        return (x, cache2), None
+
+    lis = jnp.arange(cfg.n_layer, dtype=jnp.int32)
+    (x, cache), _ = jax.lax.scan(body, (x, cache), (lis, small))
+    x = layer_norm(x, params["ln_f_g"], params["ln_f_b"])
+    head = params["lm_head"] if params.get("lm_head") is not None \
+        else params["wte"]
+    logits = qmatmul(x, head, compute_dtype=compute_dtype,
+                     out_dtype=jnp.float32, precision=precision)
+    if head.n > cfg.n_vocab:                      # padded head columns
+        logits = logits[..., :cfg.n_vocab]
+    return logits, cache
+
+
 def init_cache(cfg: GPT2Config, batch: int = 1, n_ctx: int | None = None,
-               dtype=jnp.bfloat16) -> KVCache:
+               dtype=jnp.bfloat16, flat: bool = False) -> KVCache:
     return init_kv_cache(cfg.n_layer, batch, n_ctx or cfg.n_ctx,
-                         cfg.n_head, cfg.head_dim, dtype)
+                         cfg.n_head, cfg.head_dim, dtype, flat=flat)
 
 
 def forward(cfg: GPT2Config, params, tokens, positions, cache: KVCache, n_past,
             *, compute_dtype=jnp.bfloat16, precision=None,
             cells=None, mask=None):
     """tokens, positions: (B, T) int32. Returns (logits (B, T, V), cache)."""
+    if "stack" in params:
+        return _forward_stacked(cfg, params, tokens, positions, cache,
+                                n_past, compute_dtype=compute_dtype,
+                                precision=precision, cells=cells, mask=mask)
     B, T = tokens.shape
     H, D, E = cfg.n_head, cfg.head_dim, cfg.n_embd
 

@@ -227,3 +227,60 @@ def test_llama_stacked_matches_unstacked(kv):
     finally:
         qmm.set_force_fused(False)
     assert got == ref, (got, ref)
+
+
+@pytest.mark.parametrize("wt", ["q8_0", "q4_0"])
+def test_gpt2_stacked_matches_unstacked(wt):
+    """GPT-2 stacked decode (48-layer 1558M is the warmup-critical config)
+    greedy-matches the unstacked forward, incl. the tied Q8_0 head."""
+    import importlib
+    from ggml_imax_tpu.models import gpt2
+    from ggml_imax_tpu.ops.pallas_qmm import params_repack_device
+    from ggml_imax_tpu.quant.device import quantize_for_device
+    qmm = importlib.import_module("ggml_imax_tpu.ops.qmatmul")
+
+    t = GGMLType.Q8_0 if wt == "q8_0" else GGMLType.Q4_0
+    cfg = gpt2.GPT2Config(n_vocab=512, n_ctx=64, n_embd=256, n_head=2,
+                          n_layer=2)
+    rng = np.random.default_rng(21)
+    q = lambda s: quantize_for_device(
+        (rng.standard_normal(s) * 0.05).astype(np.float32), t)
+    vec = lambda n: jnp.asarray(
+        (rng.standard_normal(n) * 0.05).astype(np.float32))
+    E = cfg.n_embd
+    params = {"wte": q((E, cfg.n_vocab)), "wpe": jnp.asarray(
+                  (rng.standard_normal((64, E)) * 0.02).astype(np.float32)),
+              "ln_f_g": vec(E) + 1.0, "ln_f_b": vec(E),
+              "lm_head": None, "layers": []}
+    for _ in range(cfg.n_layer):
+        params["layers"].append({
+            "ln_1_g": vec(E) + 1.0, "ln_1_b": vec(E),
+            "attn_w": q((E, 3 * E)), "attn_b": vec(3 * E),
+            "proj_w": q((E, E)), "proj_b": vec(E),
+            "ln_2_g": vec(E) + 1.0, "ln_2_b": vec(E),
+            "fc_w": q((E, 4 * E)), "fc_b": vec(4 * E),
+            "out_w": q((4 * E, E)), "out_b": vec(E),
+        })
+
+    def greedy(p, cache, n=5, prompt=(3, 5, 7)):
+        toks = jnp.asarray(np.array(prompt, np.int32)[None])
+        pos = jnp.asarray(np.arange(len(prompt), dtype=np.int32)[None])
+        logits, cache = gpt2.forward(cfg, p, toks, pos, cache, 0)
+        out, tok = [], jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+        for i in range(n):
+            out.append(int(tok[0, 0]))
+            pp = jnp.full((1, 1), len(prompt) + i, jnp.int32)
+            logits, cache = gpt2.forward(cfg, p, tok, pp, cache,
+                                         len(prompt) + i)
+            tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+        return out
+
+    ref = greedy(params, gpt2.init_cache(cfg, 1, 64, dtype=jnp.bfloat16))
+    stk = gpt2.stack_model(params_repack_device(gpt2.prepare_fused(params)))
+    qmm.set_force_fused(True)
+    try:
+        got = greedy(stk, gpt2.init_cache(cfg, 1, 64, dtype=jnp.bfloat16,
+                                          flat=True))
+    finally:
+        qmm.set_force_fused(False)
+    assert got == ref, (got, ref)

@@ -264,6 +264,14 @@ def main():
                               n_head=25, n_layer=48)
         measure("gpt2-1558m-q5_k", gpt2, cfg, gpt2_params(cfg, GGMLType.Q5_K),
                 baseline_ms=42.0)
+    if sel("gpt2-1558m-q8_0-stacked"):
+        # NB head_dim = 64 (n_head 25) -> decode attention takes the XLA
+        # path; the stacked win here is the 48x smaller executable
+        cfg = gpt2.GPT2Config(n_vocab=50304, n_ctx=1024, n_embd=1600,
+                              n_head=25, n_layer=48)
+        measure("gpt2-1558m-q8_0-stacked", gpt2, cfg,
+                gpt2_params(cfg, GGMLType.Q8_0), baseline_ms=42.0,
+                stacked=True)
     if sel("llama2-7b-q4_k"):
         cfg = llama.LlamaConfig(n_vocab=32000, n_ctx=4096, n_embd=4096,
                                 n_head=32, n_head_kv=32, n_layer=32,
