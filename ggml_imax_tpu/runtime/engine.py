@@ -56,8 +56,12 @@ class Engine:
                  kv_dtype=jnp.bfloat16, n_ctx: int | None = None, batch: int = 1,
                  donate_cache: bool = True, residency: str = "as-is"):
         # residency: "as-is" | "q4-fused" (block-interleave nib4 weights for
-        # the fused Pallas decode kernel) | "bf16" (dequantize once on device)
-        if residency == "q4-fused":
+        # the fused Pallas decode kernel) | "q4-stacked" (q4-fused +
+        # scan-over-layers stacking: ONE compiled layer body + the fused
+        # KV-write/attention kernel over a flat arena — the warmup/
+        # executable-size fix) | "bf16" (dequantize once on device)
+        self._flat_cache = False
+        if residency in ("q4-fused", "q4-stacked"):
             from ..ops.pallas_qmm import params_repack_device
             if hasattr(model_module, "prepare_fused"):
                 # fuse_qkv + LM-head vocab pad: the full headline-bench
@@ -67,6 +71,9 @@ class Engine:
             elif hasattr(model_module, "fuse_qkv"):
                 params = model_module.fuse_qkv(params)
             params = params_repack_device(params)
+            if residency == "q4-stacked":
+                params = model_module.stack_model(params)
+                self._flat_cache = True
         elif residency == "bf16":
             from ..quant.device import params_to_dense_bf16
             params = params_to_dense_bf16(params)
@@ -125,6 +132,10 @@ class Engine:
         return f
 
     def new_cache(self):
+        if self._flat_cache:
+            return self.model.init_cache(self.cfg, batch=self.batch,
+                                         n_ctx=self.n_ctx,
+                                         dtype=self.kv_dtype, flat=True)
         return self.model.init_cache(self.cfg, batch=self.batch,
                                      n_ctx=self.n_ctx, dtype=self.kv_dtype)
 

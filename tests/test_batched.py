@@ -228,3 +228,23 @@ def test_engine_fused_decode_no_xla_fallback():
         qmm.dequantize_xla = real
         qmm.set_force_fused(False)
     assert calls == [], f"XLA-dequant fallback hit for: {calls}"
+
+
+def test_engine_residency_q4_stacked():
+    """Engine(residency='q4-stacked') — the scan-over-layers fast path
+    through the public API — generates identically to as-is weights."""
+    import importlib
+    from ggml_imax_tpu.models import gptj
+    qmm = importlib.import_module("ggml_imax_tpu.ops.qmatmul")
+    cfg = gptj.GPTJConfig(n_vocab=640, n_ctx=64, n_embd=256, n_head=2,
+                          n_layer=2, n_rot=32)
+    params = gptj.synthetic_params(cfg, GGMLType.Q4_0, seed=13)
+    ref = Engine(gptj, cfg, params, compute_dtype=jnp.float32,
+                 kv_dtype=jnp.float32).generate([3, 5, 7], 5, temp=0.0)
+    qmm.set_force_fused(True)
+    try:
+        got = Engine(gptj, cfg, params,
+                     residency="q4-stacked").generate([3, 5, 7], 5, temp=0.0)
+    finally:
+        qmm.set_force_fused(False)
+    assert got == ref, (got, ref)
