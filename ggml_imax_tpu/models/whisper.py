@@ -433,12 +433,117 @@ def precompute_cross_kv(cfg: WhisperConfig, params, enc, *,
     D = cfg.n_text_state // H
     B, T, _ = enc.shape
     ks, vs = [], []
+    if "dec_stack" in params:
+        from ..ops.qmatmul import qmatmul_stacked
+        st = params["dec_stack"]
+        for li in range(cfg.n_text_layer):
+            i = jnp.int32(li)
+            ks.append(qmatmul_stacked(enc, st["xk_w"], i)
+                      .reshape(B, T, H, D))
+            vs.append((qmatmul_stacked(enc, st["xv_w"], i)
+                       + st["xv_b"][li]).reshape(B, T, H, D))
+        return jnp.stack(ks), jnp.stack(vs)
     for lp in params["dec_layers"]:
         ks.append(_mm(enc, lp["xk_w"], compute_dtype, precision)
                   .reshape(B, T, H, D))
         vs.append((_mm(enc, lp["xv_w"], compute_dtype, precision)
                    + lp["xv_b"]).reshape(B, T, H, D))
     return jnp.stack(ks), jnp.stack(vs)
+
+
+def fuse_dec_qkv(params):
+    """Concatenate each decoder layer's self-attention q/k/v into one
+    (E, 3E) GEMV (k has no bias in whisper — zero-filled in the fused
+    bias). Call BEFORE params_repack_device."""
+    from ..quant.device import concat_qtensors
+    out = dict(params)
+    out["dec_layers"] = []
+    for lp in params["dec_layers"]:
+        lp = dict(lp)
+        E = lp["q_b"].shape[0]
+        lp["qkv_w"] = concat_qtensors([lp.pop("q_w"), lp.pop("k_w"),
+                                       lp.pop("v_w")])
+        lp["qkv_b"] = jnp.concatenate([lp.pop("q_b"), jnp.zeros(E),
+                                       lp.pop("v_b")])
+        out["dec_layers"].append(lp)
+    return out
+
+
+def prepare_fused(params, cfg=None):
+    """Decode fast-path prep (interface parity with gptj/llama)."""
+    return fuse_dec_qkv(params)
+
+
+def stack_decoder(params):
+    """Fused+repacked params -> stacked DECODER layout: dec_layers becomes
+    one dict of stacked leaves ('dec_stack'); the encoder stays unstacked
+    (it is a one-shot prefill graph). decode() then scans over layers with
+    the stacked GEMV kernels — the warmup/executable-size fix for the
+    24-layer medium decoder. NB whisper's head_dim is 64, below the fused
+    attention kernel's 128-lane alignment, so attention itself stays on
+    the XLA path (KV caches stay in the (L,B,T,H,D) layout)."""
+    from ..quant.device import stack_layers
+    out = dict(params)
+    out["dec_stack"] = stack_layers(out.pop("dec_layers"))
+    return out
+
+
+def _decode_stacked(cfg: WhisperConfig, params, tokens, positions, cache,
+                    cross_kv, n_past, *, compute_dtype, precision):
+    from ..ops.qmatmul import qmatmul_stacked
+    from ..quant.device import QTensor
+
+    H = cfg.n_text_head
+    E = cfg.n_text_state
+    D = E // H
+    B, T = tokens.shape
+    st = params["dec_stack"]
+    qts = {k: v for k, v in st.items() if isinstance(v, QTensor)}
+    small = {k: v for k, v in st.items() if not isinstance(v, QTensor)}
+    xk, xv = cross_kv
+
+    from ..ops.embedding import get_rows
+    x = get_rows(params["d_te"], tokens, dtype=jnp.float32)
+    x = x + params["d_pe"][positions]
+    mask = attention_mask(positions, cache.n_ctx, n_past)
+
+    def body(carry, xs):
+        x, cache = carry
+        li, sm = xs
+        cur = layer_norm(x, sm["ln0_g"], sm["ln0_b"])
+        qkv = qmatmul_stacked(cur, qts["qkv_w"], li) + sm["qkv_b"]
+        q = qkv[..., :E].reshape(B, T, H, D)
+        k = qkv[..., E:2 * E].reshape(B, T, H, D)
+        v = qkv[..., 2 * E:].reshape(B, T, H, D)
+        cache2 = update_kv(cache, li, k, v, n_past)
+        a = attention(q, *read_kv(cache2, li, dtype=q.dtype), mask,
+                      out_dtype=jnp.float32, precision=precision)
+        x = x + qmatmul_stacked(a.reshape(B, T, E), qts["o_w"], li) \
+            + sm["o_b"]
+
+        cur = layer_norm(x, sm["xln_g"], sm["xln_b"])
+        q = (qmatmul_stacked(cur, qts["xq_w"], li)
+             + sm["xq_b"]).reshape(B, T, H, D)
+        xkl = jax.lax.dynamic_index_in_dim(xk, li, 0, keepdims=False)
+        xvl = jax.lax.dynamic_index_in_dim(xv, li, 0, keepdims=False)
+        a = attention(q, xkl.astype(q.dtype), xvl.astype(q.dtype), None,
+                      out_dtype=jnp.float32, precision=precision)
+        x = x + qmatmul_stacked(a.reshape(B, T, E), qts["xo_w"], li) \
+            + sm["xo_b"]
+
+        cur = layer_norm(x, sm["ln1_g"], sm["ln1_b"])
+        ff = gelu(qmatmul_stacked(cur, qts["mlp0_w"], li) + sm["mlp0_b"])
+        x = x + qmatmul_stacked(ff, qts["mlp1_w"], li) + sm["mlp1_b"]
+        return (x, cache2), None
+
+    import jax
+    lis = jnp.arange(cfg.n_text_layer, dtype=jnp.int32)
+    (x, cache), _ = jax.lax.scan(body, (x, cache), (lis, small))
+    x = layer_norm(x, params["d_ln_g"], params["d_ln_b"])
+    logits = _mm(x, params["d_te"], compute_dtype, precision)   # tied head
+    if params["d_te"].n > cfg.n_vocab:            # padded head columns
+        logits = logits[..., :cfg.n_vocab]
+    return logits, cache
 
 
 def init_cache(cfg: WhisperConfig, batch: int = 1, n_ctx: int | None = None,
@@ -455,6 +560,10 @@ def decode(cfg: WhisperConfig, params, tokens, positions, cache: KVCache,
     cross_kv from precompute_cross_kv. With return_cross_attn, also returns
     cross-attention probabilities (n_text_layer, B, H, T, T_audio) — the
     alignment signal for DTW token timestamps (whisper.cpp:355-378)."""
+    if "dec_stack" in params and not return_cross_attn:
+        return _decode_stacked(cfg, params, tokens, positions, cache,
+                               cross_kv, n_past, compute_dtype=compute_dtype,
+                               precision=precision)
     H = cfg.n_text_head
     E = cfg.n_text_state
     D = E // H

@@ -320,3 +320,43 @@ def test_whisper_full_parallel():
     assert segs[0].t0 == 0.0 and abs(segs[1].t0 - 2.0) < 1e-9
     one = pipe.transcribe_parallel(_tone_signal(), fp, n_processors=1)
     assert len(one) == 1 and one[0].tokens == GOLDEN_TOKENS
+
+
+def test_whisper_stacked_decoder_matches():
+    """Stacked decoder (scan-over-layers, stacked GEMV kernels) matches the
+    unstacked decode() logits over prefill + 2 decode steps."""
+    import importlib
+    from ggml_imax_tpu.ops.pallas_qmm import params_repack_device
+    qmm = importlib.import_module("ggml_imax_tpu.ops.qmatmul")
+
+    cfg = W.WhisperConfig(n_vocab=512, n_audio_ctx=32, n_audio_state=256,
+                          n_audio_head=2, n_audio_layer=2, n_text_ctx=32,
+                          n_text_state=256, n_text_head=2, n_text_layer=2,
+                          n_mels=16)
+    params = W.synthetic_params_device(cfg, GGMLType.Q5_0, seed=2)
+    mel = np.random.default_rng(0).standard_normal(
+        (1, cfg.n_mels, 2 * cfg.n_audio_ctx)).astype(np.float32) * 0.3
+    enc = W.encode(cfg, params, mel)
+    cross = W.precompute_cross_kv(cfg, params, enc)
+
+    stk = W.stack_decoder(params_repack_device(W.prepare_fused(params)))
+
+    toks = jnp.asarray([[cfg.token_sot % cfg.n_vocab, 5, 7]], jnp.int32)
+    pos = jnp.asarray(np.arange(3, dtype=np.int32)[None])
+    c1 = W.init_cache(cfg, batch=1)
+    c2 = W.init_cache(cfg, batch=1)
+    l1, c1 = W.decode(cfg, params, toks, pos, c1, cross, 0)
+    qmm.set_force_fused(True)
+    try:
+        l2, c2 = W.decode(cfg, stk, toks, pos, c2, cross, 0)
+        np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                                   rtol=3e-2, atol=3e-2)
+        for i in range(2):
+            tok = jnp.argmax(l1[:, -1:], -1).astype(jnp.int32)
+            pp = jnp.full((1, 1), 3 + i, jnp.int32)
+            l1, c1 = W.decode(cfg, params, tok, pp, c1, cross, 3 + i)
+            l2, c2 = W.decode(cfg, stk, tok, pp, c2, cross, 3 + i)
+            np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                                       rtol=3e-2, atol=3e-2)
+    finally:
+        qmm.set_force_fused(False)

@@ -179,7 +179,8 @@ def measure_whisper(name, cfg, *, dec_tokens=64):
         params["d_te"] = _rp(
             te, q=jnp.pad(te.q, ((0, 0), (0, vpad))),
             scale=jnp.pad(te.scale, ((0, 0), (0, vpad))), n=te.n + vpad)
-    params = params_repack_device(params)
+    params = params_repack_device(W.prepare_fused(params))
+    params = W.stack_decoder(params)     # scan-over-layers decoder
     jax.block_until_ready(jax.tree.leaves(params))
     print(f"# {name}: staged in {time.time()-t0:.0f}s", file=sys.stderr)
 
