@@ -49,7 +49,7 @@ JAX_PLATFORMS=cpu python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
 
 echo "== [5/5] bench smoke =="
 if [ "$FAST" != "--fast" ] && \
-   python -c "import jax; raise SystemExit(0 if jax.devices()[0].platform=='tpu' else 1)" \
+   timeout 180 python -c "import jax; raise SystemExit(0 if jax.devices()[0].platform=='tpu' else 1)" \
    2>/dev/null; then
   python bench.py
 else
