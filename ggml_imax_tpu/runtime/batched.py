@@ -67,7 +67,7 @@ class BatchedEngine:
     def __init__(self, model_module, cfg, params, *, n_ctx: int | None = None,
                  compute_dtype=jnp.bfloat16, kv_dtype=jnp.bfloat16,
                  on_device_sampling: bool = False, top_k: int = 40,
-                 top_p: float = 0.9, seed: int = 0):
+                 top_p: float = 0.9, seed: int = 0, n_ubatch: int = 512):
         """on_device_sampling: sample inside the jitted step with PER-REQUEST
         temperature/top_k/top_p (a (3, nb) param row per token, matching the
         reference's per-request sampler params, common.h:114-132) and return
@@ -80,6 +80,10 @@ class BatchedEngine:
         self.params = params
         self.n_ctx = n_ctx or cfg.n_ctx
         self.kv_dtype = kv_dtype
+        # max tokens per ubatch (the reference's n_batch, common.h:26):
+        # long prompts prefill across several steps instead of compiling
+        # one giant bucket, and decode rows keep joining each ubatch
+        self.n_ubatch = n_ubatch
         self.on_device_sampling = on_device_sampling
         self._key = jax.random.key(seed)
         self._step_no = 0
@@ -207,7 +211,10 @@ class BatchedEngine:
             if r.done:
                 continue
             if r.n_prompt_done < len(r.prompt):
-                chunk = r.prompt[r.n_prompt_done:]
+                room = self.n_ubatch - len(toks)
+                if room <= 0:
+                    continue
+                chunk = r.prompt[r.n_prompt_done:r.n_prompt_done + room]
                 base = self._find_slot(len(chunk))
                 for i, t in enumerate(chunk):
                     self.cell_pos[base + i] = r.pos
@@ -217,9 +224,13 @@ class BatchedEngine:
                     seqs.append(r.seq)
                     cells.append(base + i)
                     r.pos += 1
-                r.n_prompt_done = len(r.prompt)
-                sample_rows.append((r, len(toks) - 1))
+                r.n_prompt_done += len(chunk)
+                if r.n_prompt_done == len(r.prompt):
+                    # prompt complete in this ubatch -> its last row samples
+                    sample_rows.append((r, len(toks) - 1))
             else:
+                if len(toks) >= self.n_ubatch:
+                    continue                 # ubatch full; decode next step
                 if r.logits is None and getattr(r, "next_tok", None) is None:
                     r.done = True
                     continue

@@ -248,3 +248,21 @@ def test_engine_residency_q4_stacked():
     finally:
         qmm.set_force_fused(False)
     assert got == ref, (got, ref)
+
+
+def test_batched_ubatch_chunked_prefill(tiny):
+    """n_ubatch caps tokens per step (the reference's n_batch, common.h:26):
+    a long prompt prefills across several ubatches and still generates
+    exactly the single-sequence greedy output."""
+    cfg, params = tiny
+    prompt = list(np.random.default_rng(3).integers(0, 90, 50))
+    ref = greedy_reference(cfg, params, prompt, 6)
+    be = BatchedEngine(gpt2, cfg, params, compute_dtype=jnp.float32,
+                       kv_dtype=jnp.float32, n_ubatch=16)
+    rid = be.add_request(prompt, 6, temp=0.0)
+    steps = 0
+    while be.step():
+        steps += 1
+        assert steps < 64
+    assert be.requests[rid].out == ref, (be.requests[rid].out, ref)
+    assert steps >= 4          # 50 tokens at <=16/step -> >=4 prefill steps
