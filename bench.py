@@ -38,6 +38,7 @@ def main():
         set_w4a8_tiles(bkk, bn)
         print(f"# w4a8 tiles: bkk={bkk} bn={bn}", file=sys.stderr)
     small = "--small" in sys.argv
+    stacked = "--stacked" in sys.argv
     resident = "bf16" if "--resident=bf16" in sys.argv else "q4"
     batch = 1
     for a in sys.argv:
@@ -68,7 +69,11 @@ def main():
             os.environ.get("GGML_W4A8_SCALE_DTYPE", ""), None)
         if sdt is not None:
             print("# scales stored bf16", file=sys.stderr)
-        params = gptj.fuse_qkv(params)     # 1 GEMV for q/k/v per layer
+        if stacked:
+            os.environ.setdefault("GGML_FUSE_FF", "1")
+        params = gptj.fuse_qkv(params)     # 1 GEMV for q/k/v (+fc_in) per layer
+        if stacked:
+            params = gptj.fuse_out(params)  # 1 GEMV for o_proj+fc_out
         h = params["lmh_w"]
         vpad = (-h.n) % 128
         if vpad and h.kind == "nib4":
@@ -80,13 +85,18 @@ def main():
             params["lmh_b"] = jnp.pad(params["lmh_b"], (0, vpad),
                                       constant_values=-1e30)
         params = params_repack_device(params, scale_dtype=sdt)
+        if stacked:
+            # scan-over-layers + fused KV-write kernel: ONE compiled layer
+            # body (cold-start fix) — A/B vs the unrolled default
+            params = gptj.stack_model(params)
     jax.block_until_ready(params)
     load_s = time.time() - t0
-    print(f"# params staged+transferred in {load_s:.1f}s (resident={resident})",
-          file=sys.stderr)
+    print(f"# params staged+transferred in {load_s:.1f}s (resident={resident}"
+          f"{' stacked' if stacked else ''})", file=sys.stderr)
 
     kv_dtype = "q8_0" if "--kv=q8_0" in sys.argv else jnp.bfloat16
-    cache = gptj.init_cache(cfg, batch=batch, n_ctx=512, dtype=kv_dtype)
+    cache = gptj.init_cache(cfg, batch=batch, n_ctx=512, dtype=kv_dtype,
+                            flat=stacked)
 
     @jax.jit
     def step(params, tok, pos, cache, n_past):
@@ -186,7 +196,8 @@ def main():
         pos = jnp.full((batch, 1), i, jnp.int32)
         tok, cache = step(params, tok, pos, cache, i)
     _ = int(tok[0, 0])  # drain queue + compile
-    print(f"# warmup ({n_warm} steps incl. compile): {time.time()-t0:.1f}s",
+    warmup_s = time.time() - t0
+    print(f"# warmup ({n_warm} steps incl. compile): {warmup_s:.1f}s",
           file=sys.stderr)
 
     # calibrate the fetch round-trip on a trivial dependent computation
@@ -251,6 +262,8 @@ def main():
         "vs_baseline": round(tok_s / BASELINE_TOK_S, 2),
         "p50_ttft_ms": round(p50_ttft * 1e3, 1),
         "ttft_prompt_tokens": T,
+        "warmup_s": round(warmup_s, 1),
+        "stage_s": round(load_s, 1),
     }))
 
 
