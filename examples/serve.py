@@ -40,11 +40,7 @@ def bench(args):
                           n_rot=32 if tiny else 64)
     t0 = time.time()
     params = gptj.synthetic_params_device(cfg, GGMLType.Q4_0, seed=0)
-    params = gptj.prepare_fused(params, cfg)
-    params = gptj.fuse_out(params)
-    from ggml_imax_tpu.ops.pallas_qmm import params_repack_device
-    params = params_repack_device(params)
-    jax.block_until_ready(params)
+    jax.block_until_ready(jax.tree.leaves(params))
     print(f"# staged 6B params in {time.time()-t0:.0f}s", file=sys.stderr)
 
     rng = np.random.default_rng(0)
@@ -78,7 +74,7 @@ def bench(args):
         return gen, wall, sorted(ttft.values())
 
     be = BatchedEngine(gptj, cfg, params, n_ctx=n_ctx, kv_dtype="q8_0",
-                       on_device_sampling=True, seed=1)
+                       on_device_sampling=True, seed=1, stacked=True)
     t0 = time.time()
     workload(be)                                    # warmup: compile buckets
     print(f"# warmup (compile) {time.time()-t0:.0f}s", file=sys.stderr)

@@ -172,9 +172,6 @@ def _forward_stacked(cfg: GPT2Config, params, tokens, positions, cache,
 
     B, T = tokens.shape
     H, D, E = cfg.n_head, cfg.head_dim, cfg.n_embd
-    assert cells is None, \
-        "stacked decode uses contiguous KV writes; use unstacked params " \
-        "for the celled (continuous-batching) path"
     st = params["stack"]
     qts = {k: v for k, v in st.items() if isinstance(v, QTensor)}
     small = {k: v for k, v in st.items() if not isinstance(v, QTensor)}
@@ -184,7 +181,8 @@ def _forward_stacked(cfg: GPT2Config, params, tokens, positions, cache,
     if mask is None:
         mask = attention_mask(positions, cache.n_ctx, n_past)
     on_tpu = jax.devices()[0].platform == "tpu"
-    use_kernel = (T == 1 and D % 128 == 0 and (on_tpu or _force_fused))
+    use_kernel = (T == 1 and cells is None and D % 128 == 0
+                  and (on_tpu or _force_fused))
     fused_upd = (use_kernel and cache.flat
                  and os.environ.get("GGML_FUSED_KV_UPDATE", "1") == "1")
 
@@ -204,7 +202,8 @@ def _forward_stacked(cfg: GPT2Config, params, tokens, positions, cache,
             cache2 = update_kv(cache, li, kk, vv, n_past)
             attn = decode_attention_stacked(cache2, li, q, mask)
         else:
-            cache2 = update_kv(cache, li, kk, vv, n_past)
+            cache2 = update_kv(cache, li, kk, vv, n_past) if cells is None \
+                else update_kv_cells(cache, li, kk, vv, cells)
             attn = attention(q, *read_kv(cache2, li, dtype=q.dtype), mask,
                              out_dtype=jnp.float32, precision=precision)
         attn = attn.reshape(B, T, E)

@@ -199,9 +199,6 @@ def _forward_stacked(cfg: LlamaConfig, params, tokens, positions, cache,
     B, T = tokens.shape
     H, Hkv, D, E = cfg.n_head, cfg.n_head_kv, cfg.head_dim, cfg.n_embd
     F = params["stack"]["gu_w"].n // 2 if "gu_w" in params["stack"] else None
-    assert cells is None, \
-        "stacked decode uses contiguous KV writes; use unstacked params " \
-        "for the celled (continuous-batching) path"
     st = params["stack"]
     qts = {k: v for k, v in st.items() if isinstance(v, QTensor)}
     small = {k: v for k, v in st.items() if not isinstance(v, QTensor)}
@@ -236,7 +233,8 @@ def _forward_stacked(cfg: LlamaConfig, params, tokens, positions, cache,
             cache2 = update_kv(cache, li, kk, vv, n_past)
             attn = decode_attention_stacked(cache2, li, q, mask)
         else:
-            cache2 = update_kv(cache, li, kk, vv, n_past)
+            cache2 = update_kv(cache, li, kk, vv, n_past) if cells is None \
+                else update_kv_cells(cache, li, kk, vv, cells)
             attn = attention(q, *read_kv(cache2, li, dtype=q.dtype), mask,
                              out_dtype=jnp.float32, precision=precision)
         x = x + qmatmul_stacked(attn.reshape(B, T, E), qts["o_w"], li)

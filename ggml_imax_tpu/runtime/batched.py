@@ -67,7 +67,8 @@ class BatchedEngine:
     def __init__(self, model_module, cfg, params, *, n_ctx: int | None = None,
                  compute_dtype=jnp.bfloat16, kv_dtype=jnp.bfloat16,
                  on_device_sampling: bool = False, top_k: int = 40,
-                 top_p: float = 0.9, seed: int = 0, n_ubatch: int = 512):
+                 top_p: float = 0.9, seed: int = 0, n_ubatch: int = 512,
+                 stacked: bool = False):
         """on_device_sampling: sample inside the jitted step with PER-REQUEST
         temperature/top_k/top_p (a (3, nb) param row per token, matching the
         reference's per-request sampler params, common.h:114-132) and return
@@ -77,6 +78,17 @@ class BatchedEngine:
         max(64, top_k))."""
         self.model = model_module
         self.cfg = cfg
+        if stacked:
+            # scan-over-layers celled decode: ONE compiled layer body per
+            # ubatch bucket instead of n_layer inlined copies — the serving
+            # analog of Engine(residency="q4-stacked"). KV writes go through
+            # update_kv_cells inside the scan; attention stays on the XLA
+            # path (cell masks need the full (T, n_ctx) mask form).
+            from ..ops.pallas_qmm import params_repack_device
+            if hasattr(model_module, "prepare_fused"):
+                params = model_module.prepare_fused(params)
+            params = params_repack_device(params)
+            params = model_module.stack_model(params)
         self.params = params
         self.n_ctx = n_ctx or cfg.n_ctx
         self.kv_dtype = kv_dtype

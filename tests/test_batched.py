@@ -266,3 +266,18 @@ def test_batched_ubatch_chunked_prefill(tiny):
         assert steps < 64
     assert be.requests[rid].out == ref, (be.requests[rid].out, ref)
     assert steps >= 4          # 50 tokens at <=16/step -> >=4 prefill steps
+
+
+def test_batched_stacked_matches_single_sequence(tiny):
+    """BatchedEngine(stacked=True): celled continuous batching through the
+    scan-over-layers body (update_kv_cells inside the scan) produces the
+    same greedy output as the unstacked engine, incl. chunked prefill."""
+    cfg, params = tiny
+    prompts = [[3, 14, 15, 92, 6], [8, 9]]
+    refs = [greedy_reference(cfg, params, p, 6) for p in prompts]
+    be = BatchedEngine(gpt2, cfg, params, compute_dtype=jnp.float32,
+                       kv_dtype=jnp.float32, stacked=True, n_ubatch=4)
+    rids = [be.add_request(p, 6, temp=0.0) for p in prompts]
+    outs = be.run()
+    for rid, ref in zip(rids, refs):
+        assert outs[rid] == ref, (outs[rid], ref)
