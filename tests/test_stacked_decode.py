@@ -284,3 +284,38 @@ def test_gpt2_stacked_matches_unstacked(wt):
     finally:
         qmm.set_force_fused(False)
     assert got == ref, (got, ref)
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 1, 384, 1, 4, 128),     # GQA 4:1, T=384 -> bk=128
+    (1, 2, 256, 2, 2, 128),     # MHA, B=2
+])
+def test_fused_update_attention_shapes(shape):
+    """Fused update+attention across GQA ratios, batch and KV lengths."""
+    from ggml_imax_tpu.models.common import (attention_mask, init_kv_cache,
+                                             update_kv)
+    from ggml_imax_tpu.ops.decode_attention import (
+        decode_attention_stacked, decode_attention_update_stacked)
+    L, B, T, Hkv, Hq, D = shape
+    rng = np.random.default_rng(7)
+    c_ref = init_kv_cache(L, B, T, Hkv, D, jnp.bfloat16, flat=True)
+    c_fus = init_kv_cache(L, B, T, Hkv, D, jnp.bfloat16, flat=True)
+    for step in range(2):
+        n_past = step
+        pos = jnp.full((B, 1), n_past, jnp.int32)
+        mask = attention_mask(pos, T, n_past)
+        for li in range(L):
+            q = jnp.asarray(rng.standard_normal((B, 1, Hq, D)), jnp.float32)
+            kn = jnp.asarray(rng.standard_normal((B, 1, Hkv, D)) * 0.5,
+                             jnp.float32)
+            vn = jnp.asarray(rng.standard_normal((B, 1, Hkv, D)) * 0.5,
+                             jnp.float32)
+            c_ref = update_kv(c_ref, li, kn, vn, n_past)
+            a_ref = decode_attention_stacked(c_ref, li, q, mask)
+            a_fus, c_fus = decode_attention_update_stacked(
+                c_fus, li, q, kn, vn, n_past, mask)
+            np.testing.assert_allclose(np.asarray(a_fus), np.asarray(a_ref),
+                                       rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(c_fus.k).astype(np.float32),
+                               np.asarray(c_ref.k).astype(np.float32),
+                               rtol=1e-2, atol=1e-2)
