@@ -25,6 +25,10 @@ run combo 3500 python -u tools/diag_stacked_combo.py 28 512 full,twostep,noupd,n
 # 3. fused-loop scan decode (tok/s through one executable)
 run scan 1800 python bench.py --scan
 
+# 3b. stacked headline A/B: same metric through the scan-over-layers path
+#     (reports its own warmup_s — the cold-start story)
+run bench_stacked 2400 python bench.py --stacked
+
 # 4. secondary configs
 run llama 2400 python tools/bench_models.py llama2-7b-q4_k-stacked
 run whisper_s 2400 python tools/bench_models.py whisper-small-q5_0
