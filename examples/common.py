@@ -29,7 +29,8 @@ def gpt_argparser(desc: str) -> argparse.ArgumentParser:
                    help="(compat) ignored — use sharding for multi-chip")
     p.add_argument("--f32", action="store_true",
                    help="compute in f32 instead of bf16")
-    p.add_argument("--resident", choices=("as-is", "q4-fused", "bf16"),
+    p.add_argument("--resident",
+               choices=("as-is", "q4-fused", "q4-stacked", "bf16"),
                    default="q4-fused",
                    help="device weight residency (fused Pallas q4 default)")
     return p
