@@ -560,7 +560,12 @@ def decode(cfg: WhisperConfig, params, tokens, positions, cache: KVCache,
     cross_kv from precompute_cross_kv. With return_cross_attn, also returns
     cross-attention probabilities (n_text_layer, B, H, T, T_audio) — the
     alignment signal for DTW token timestamps (whisper.cpp:355-378)."""
-    if "dec_stack" in params and not return_cross_attn:
+    if "dec_stack" in params:
+        if return_cross_attn:
+            raise ValueError(
+                "return_cross_attn (DTW token timestamps) needs the "
+                "unstacked decoder — keep a params copy without "
+                "stack_decoder for timestamp extraction")
         return _decode_stacked(cfg, params, tokens, positions, cache,
                                cross_kv, n_past, compute_dtype=compute_dtype,
                                precision=precision)
