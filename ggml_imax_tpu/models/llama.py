@@ -188,10 +188,12 @@ def stack_model(params):
 
 
 def _forward_stacked(cfg: LlamaConfig, params, tokens, positions, cache,
-                     n_past, *, compute_dtype, precision, cells, mask):
+                     n_past, *, compute_dtype, precision, cells, mask,
+                     cells_kernel=False):
     import os
     import jax
     from ..ops.decode_attention import (decode_attention_stacked,
+                                        decode_attention_update_cells,
                                         decode_attention_update_stacked)
     from ..ops.qmatmul import qmatmul_stacked, _force_fused
     from ..quant.device import QTensor
@@ -215,6 +217,11 @@ def _forward_stacked(cfg: LlamaConfig, params, tokens, positions, cache,
                   and (on_tpu or _force_fused))
     fused_upd = (use_kernel and cache.flat
                  and os.environ.get("GGML_FUSED_KV_UPDATE", "1") == "1")
+    use_cells_kernel = (cells_kernel and cells is not None and B == 1
+                        and cache.flat and D % 128 == 0 and mask is not None
+                        and (on_tpu or _force_fused)
+                        and os.environ.get("GGML_FUSED_KV_UPDATE", "1")
+                        == "1")
 
     def body(carry, xs):
         x, cache = carry
@@ -226,7 +233,13 @@ def _forward_stacked(cfg: LlamaConfig, params, tokens, positions, cache,
         vv = qkv[..., E + Hkv * D:].reshape(B, T, Hkv, D)
         q = rope(q, positions, **rope_args)
         kk = rope(kk, positions, **rope_args)
-        if fused_upd:
+        if use_cells_kernel:
+            attn, cache2 = decode_attention_update_cells(
+                cache, li, q.reshape(T, 1, H, D),
+                kk.reshape(T, 1, Hkv, D), vv.reshape(T, 1, Hkv, D),
+                cells[0], mask[0, 0])
+            attn = attn.reshape(B, T, H, D)
+        elif fused_upd:
             attn, cache2 = decode_attention_update_stacked(
                 cache, li, q, kk, vv, n_past, mask)
         elif use_kernel:
@@ -264,11 +277,12 @@ def init_cache(cfg: LlamaConfig, batch: int = 1, n_ctx: int | None = None,
 
 def forward(cfg: LlamaConfig, params, tokens, positions, cache: KVCache, n_past,
             *, compute_dtype=jnp.bfloat16, precision=None,
-            cells=None, mask=None):
+            cells=None, mask=None, cells_kernel=False):
     if "stack" in params:
         return _forward_stacked(cfg, params, tokens, positions, cache,
                                 n_past, compute_dtype=compute_dtype,
-                                precision=precision, cells=cells, mask=mask)
+                                precision=precision, cells=cells, mask=mask,
+                                cells_kernel=cells_kernel)
     B, T = tokens.shape
     H, Hkv, D, E = cfg.n_head, cfg.n_head_kv, cfg.head_dim, cfg.n_embd
 

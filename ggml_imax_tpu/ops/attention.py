@@ -47,10 +47,14 @@ def attention_xla(q, k, v, mask=None, *, scale: float | None = None,
     elif mask is not None:
         s = s + mask.astype(jnp.float32)
 
-    mx = jnp.max(s, axis=-1, keepdims=True)
+    # fully-masked rows (continuous-batching pad rows): clamp the running
+    # max and the denominator so the output is 0, not NaN — matching the
+    # Pallas decode kernels' 1e-30 clamp. A NaN here is not benign: the
+    # row's next-layer K/V would carry it into the shared cell arena.
+    mx = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), -0.7e38)
     e = jnp.exp(s - mx)
     e = jnp.where(jnp.isneginf(s), 0.0, e)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
     o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(vf.dtype), vf,
                    precision=precision, preferred_element_type=jnp.float32)
     return o.transpose(0, 2, 1, 3).astype(out_dtype)

@@ -211,7 +211,7 @@ def decode_attention_stacked(cache, li, q, mask, *, scale=None,
 # src/ggml-cuda/fattn.cu:500-514); this fuses both into one dispatch.
 
 
-def _kernel_upd(scale, g_rep, hkv, d, nb, quantized, *refs):
+def _kernel_upd(scale, g_rep, hkv, d, nb, quantized, cells, *refs):
     if quantized:
         (s_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, kn_ref, vn_ref,
          kns_ref, vns_ref, m_ref,
@@ -220,7 +220,8 @@ def _kernel_upd(scale, g_rep, hkv, d, nb, quantized, *refs):
         (s_ref, q_ref, k_ref, v_ref, kn_ref, vn_ref, m_ref,
          o_ref, ko_ref, vo_ref, acc, m_s, l_s) = refs
     kk = pl.program_id(1)
-    n_past = s_ref[1]
+    # excluded (stale) arena row: shared n_past, or this query row's cell
+    n_past = s_ref[1 + pl.program_id(0)] if cells else s_ref[1]
 
     @pl.when(kk == 0)
     def _():
@@ -316,15 +317,28 @@ def _kernel_upd(scale, g_rep, hkv, d, nb, quantized, *refs):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("hkv", "scale", "interpret"))
+                   static_argnames=("hkv", "scale", "interpret", "cells"))
 def _decode_attn_upd(li, n_past, q, k, v, ks, vs, kn, vn, kns, vns, mask, *,
-                     hkv, scale, interpret):
+                     hkv, scale, interpret, cells=False):
     """Fused update+attention over the flat (L, B, T, Hkv*D) arena.
     kn/vn: (B, 1, Hkv*D) new rows (same storage dtype as the arena);
     kns/vns: (B, 1, Hkv*nb) f32 scales for the q8_0 residency (None dense).
     Returns (attn (B, Hq, D) f32, k', v'[, ks', vs']) with the arenas
-    aliased in place (only the n_past row is written)."""
+    aliased in place (only the n_past row is written).
+
+    cells=True: continuous-batching mode — the arena batch dim is 1
+    (shared cell pool), q carries NB query rows of DISTINCT sequences,
+    and n_past is an (NB,) array of per-row destination cells (pad rows
+    point at the reserved trash cell). Visibility comes entirely from
+    the per-row mask; each row's own (stale) cell is excluded in-kernel
+    and its fresh K/V folded in from registers, so rows of one ubatch
+    never read each other's just-written cells (decode-only ubatches
+    have at most one row per sequence, and cross-sequence cells are
+    masked)."""
     L, B, T, HD = k.shape
+    NB = q.shape[0]
+    if cells:
+        assert B == 1, "cells mode shares one arena across query rows"
     Hkv = hkv
     D = HD // Hkv
     _, Hq, _ = q.shape
@@ -333,25 +347,24 @@ def _decode_attn_upd(li, n_past, q, k, v, ks, vs, kn, vn, kns, vns, mask, *,
     nb = D // 32 if ks is not None else 0
     quantized = ks is not None
 
-    m2 = jnp.maximum(jnp.asarray(mask, jnp.float32), NEG).reshape(B, 1, T)
+    m2 = jnp.maximum(jnp.asarray(mask, jnp.float32), NEG).reshape(NB, 1, T)
 
+    # cells mode reads the single shared arena for every query row
+    ab = (lambda b, kk, s: (s[0], 0, kk, 0)) if cells else \
+        (lambda b, kk, s: (s[0], b, kk, 0))
     args = [q, k, v]
     in_specs = [
         pl.BlockSpec((1, Hq, D), lambda b, kk, s: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bk, HD), lambda b, kk, s: (s[0], b, kk, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bk, HD), lambda b, kk, s: (s[0], b, kk, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, HD), ab, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, HD), ab, memory_space=pltpu.VMEM),
     ]
     if quantized:
         args += [ks, vs]
         in_specs += [
-            pl.BlockSpec((1, 1, bk, Hkv * nb),
-                         lambda b, kk, s: (s[0], b, kk, 0),
+            pl.BlockSpec((1, 1, bk, Hkv * nb), ab,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bk, Hkv * nb),
-                         lambda b, kk, s: (s[0], b, kk, 0),
+            pl.BlockSpec((1, 1, bk, Hkv * nb), ab,
                          memory_space=pltpu.VMEM),
         ]
     args += [kn, vn]
@@ -375,8 +388,10 @@ def _decode_attn_upd(li, n_past, q, k, v, ks, vs, kn, vn, kns, vns, mask, *,
 
     # outputs: attn + aliased arenas written through ONE-ROW windows at
     # (li, b, n_past, :) — constant across kk, flushed once per b
-    row_spec = pl.BlockSpec((1, 1, 1, HD),
-                            lambda b, kk, s: (s[0], b, s[1], 0),
+    # (cells mode: (li, 0, s[1+b], :) — per-row destination cell)
+    rowmap = (lambda b, kk, s: (s[0], 0, s[1 + b], 0)) if cells else \
+        (lambda b, kk, s: (s[0], b, s[1], 0))
+    row_spec = pl.BlockSpec((1, 1, 1, HD), rowmap,
                             memory_space=pltpu.VMEM)
     out_specs = [
         pl.BlockSpec((1, Hq, D), lambda b, kk, s: (b, 0, 0),
@@ -384,7 +399,7 @@ def _decode_attn_upd(li, n_past, q, k, v, ks, vs, kn, vn, kns, vns, mask, *,
         row_spec, row_spec,
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((B, Hq, D), jnp.float32),
+        jax.ShapeDtypeStruct((NB, Hq, D), jnp.float32),
         jax.ShapeDtypeStruct(k.shape, k.dtype),
         jax.ShapeDtypeStruct(v.shape, v.dtype),
     ]
@@ -392,8 +407,7 @@ def _decode_attn_upd(li, n_past, q, k, v, ks, vs, kn, vn, kns, vns, mask, *,
     # input_output_aliases indices COUNT the scalar-prefetch operand 0
     aliases = {2: 1, 3: 2}
     if quantized:
-        srow_spec = pl.BlockSpec((1, 1, 1, Hkv * nb),
-                                 lambda b, kk, s: (s[0], b, s[1], 0),
+        srow_spec = pl.BlockSpec((1, 1, 1, Hkv * nb), rowmap,
                                  memory_space=pltpu.VMEM)
         out_specs += [srow_spec, srow_spec]
         out_shape += [jax.ShapeDtypeStruct(ks.shape, ks.dtype),
@@ -402,7 +416,7 @@ def _decode_attn_upd(li, n_past, q, k, v, ks, vs, kn, vn, kns, vns, mask, *,
 
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, T // bk),
+        grid=(NB, T // bk),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
@@ -413,20 +427,22 @@ def _decode_attn_upd(li, n_past, q, k, v, ks, vs, kn, vn, kns, vns, mask, *,
     )
     kv_bytes = 2 * T * HD * (1 if quantized else 2) \
         + (2 * T * Hkv * nb * 4 if quantized else 0)
+    sp = jnp.concatenate([jnp.asarray(li, jnp.int32).reshape(1),
+                          jnp.asarray(n_past, jnp.int32).reshape(-1)])
     outs = pl.pallas_call(
-        functools.partial(_kernel_upd, scale, g_rep, Hkv, D, nb, quantized),
+        functools.partial(_kernel_upd, scale, g_rep, Hkv, D, nb, quantized,
+                          cells),
         grid_spec=gs,
         out_shape=out_shape,
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * Hq * T * D,
-            bytes_accessed=B * (kv_bytes + Hq * D * 8 + T * 4),
-            transcendentals=B * Hq * T),
+            flops=4 * NB * Hq * T * D,
+            bytes_accessed=NB * (kv_bytes + Hq * D * 8 + T * 4),
+            transcendentals=NB * Hq * T),
         interpret=interpret,
-    )(jnp.stack([jnp.asarray(li, jnp.int32).reshape(()),
-                 jnp.asarray(n_past, jnp.int32).reshape(())]), *args)
+    )(sp, *args)
     return outs
 
 
@@ -469,3 +485,45 @@ def decode_attention_update_stacked(cache, li, q, k_new, v_new, n_past,
         kn, vn, None, None, m2, hkv=hkv, scale=float(scale),
         interpret=interpret)
     return attn.reshape(B, 1, Hq, D), KVCache(k2, v2, heads=cache.heads)
+
+
+def decode_attention_update_cells(cache, li, q, k_new, v_new, rows, mask, *,
+                                  scale=None, interpret: bool | None = None):
+    """Continuous-batching fused KV-write + attention over the SHARED flat
+    arena (cache batch must be 1): q/k_new/v_new carry NB query rows of
+    distinct sequences, rows (NB,) their destination cells (pad rows ->
+    the reserved trash cell), mask (NB, n_ctx) the per-cell additive mask
+    (models.common.cells_attention_mask). Decode-only ubatches ONLY: rows
+    of one ubatch must belong to distinct sequences (each row sees its own
+    fresh K/V from registers and other rows' cells only through the seq
+    mask, never through the arena). The TPU analog of paged decode
+    attention over llama.cpp-style KV cells (main-batched.cpp:889-931).
+    Returns (attn (NB, Hq, D) f32, updated KVCache)."""
+    from ..models.common import KVCache, _q8_rows
+    assert cache.flat, "cells kernel requires the flat arena layout"
+    NB, Hq, D = q.shape[0], q.shape[-2], q.shape[-1]
+    q = q.reshape(NB, Hq, D)
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    scale = scale if scale is not None else 1.0 / math.sqrt(D)
+    T = cache.k.shape[2]
+    m2 = jnp.asarray(mask, jnp.float32).reshape(NB, T)
+    rows = jnp.asarray(rows, jnp.int32).reshape(NB)
+    if cache.quantized:
+        k8, kd = _q8_rows(k_new)
+        v8, vd = _q8_rows(v_new)
+        kn = k8.reshape(NB, 1, -1)
+        vn = v8.reshape(NB, 1, -1)
+        kns = kd.reshape(NB, 1, -1).astype(jnp.float32)
+        vns = vd.reshape(NB, 1, -1).astype(jnp.float32)
+        attn, k2, v2, ks2, vs2 = _decode_attn_upd(
+            li, rows, q, cache.k, cache.v, cache.ks, cache.vs,
+            kn, vn, kns, vns, m2, hkv=cache.heads, scale=float(scale),
+            interpret=interpret, cells=True)
+        return attn, KVCache(k2, v2, ks2, vs2, heads=cache.heads)
+    kn = k_new.reshape(NB, 1, -1).astype(cache.k.dtype)
+    vn = v_new.reshape(NB, 1, -1).astype(cache.v.dtype)
+    attn, k2, v2 = _decode_attn_upd(
+        li, rows, q, cache.k, cache.v, None, None, kn, vn, None, None, m2,
+        hkv=cache.heads, scale=float(scale), interpret=interpret, cells=True)
+    return attn, KVCache(k2, v2, heads=cache.heads)

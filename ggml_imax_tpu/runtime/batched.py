@@ -89,6 +89,7 @@ class BatchedEngine:
                 params = model_module.prepare_fused(params)
             params = params_repack_device(params)
             params = model_module.stack_model(params)
+        self._stacked = stacked
         self.params = params
         self.n_ctx = n_ctx or cfg.n_ctx
         self.kv_dtype = kv_dtype
@@ -100,24 +101,40 @@ class BatchedEngine:
         self._key = jax.random.key(seed)
         self._step_no = 0
 
-        # host-side cell registry (main-batched.cpp:80-117)
+        # host-side cell registry (main-batched.cpp:80-117). The LAST cell
+        # is reserved as the trash destination for ubatch pad rows (both
+        # the scatter path and the fused cells kernel write pads there;
+        # its metadata stays empty so it is never visible).
         self.cell_pos = np.full(self.n_ctx, -1, np.int32)
         self.cell_seq = np.zeros(self.n_ctx, np.uint32)
+        self.trash_cell = self.n_ctx - 1
         self.head = 0
         self.requests: dict[int, Request] = {}
         self._next_seq = 0
-        self.cache = model_module.init_cache(cfg, batch=1, n_ctx=self.n_ctx,
-                                             dtype=kv_dtype)
+        try:
+            self.cache = model_module.init_cache(
+                cfg, batch=1, n_ctx=self.n_ctx, dtype=kv_dtype,
+                flat=self._stacked)
+        except TypeError:          # models without a flat-layout cache
+            self.cache = model_module.init_cache(
+                cfg, batch=1, n_ctx=self.n_ctx, dtype=kv_dtype)
 
         def step(params, tokens, positions, seqs, cells, cell_pos, cell_seq,
-                 cache):
+                 cache, ck=False):
             mask = cells_attention_mask(positions, seqs, cell_pos, cell_seq)
-            return model_module.forward(cfg, params, tokens, positions, cache,
-                                        0, compute_dtype=compute_dtype,
-                                        cells=cells, mask=mask)
-        self._step = jax.jit(step, donate_argnums=(7,))
+            try:
+                return model_module.forward(
+                    cfg, params, tokens, positions, cache, 0,
+                    compute_dtype=compute_dtype, cells=cells, mask=mask,
+                    cells_kernel=ck)
+            except TypeError:      # models without the fused cells kernel
+                return model_module.forward(
+                    cfg, params, tokens, positions, cache, 0,
+                    compute_dtype=compute_dtype, cells=cells, mask=mask)
+        self._step = jax.jit(step, donate_argnums=(7,),
+                             static_argnames=("ck",))
 
-        def step_sampled(params, packed, samp, cache, key, nb):
+        def step_sampled(params, packed, samp, cache, key, nb, ck=False):
             # packed: ONE int32 upload [tokens|positions|seqs|cells|
             # cell_pos|cell_seq] — a single host->device transfer per step
             # (each separate small upload costs a full round trip on
@@ -133,7 +150,7 @@ class BatchedEngine:
             cell_seq = packed[4 * nb + self.n_ctx:
                               4 * nb + 2 * self.n_ctx].astype(jnp.uint32)[None]
             logits, cache = step(params, tokens, positions, seqs, cells,
-                                 cell_pos, cell_seq, cache)
+                                 cell_pos, cell_seq, cache, ck)
             lg = logits[0].astype(jnp.float32)             # (nb, V)
             temps, kks, pps = samp[0], samp[1], samp[2]
             greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)
@@ -145,7 +162,7 @@ class BatchedEngine:
             return jnp.where(temps <= 0, greedy, drawn), cache
         self._k_max = max(64, top_k)
         self._step_sampled = jax.jit(step_sampled, donate_argnums=(3,),
-                                     static_argnames=("nb",))
+                                     static_argnames=("nb", "ck"))
 
     # -- cell registry ------------------------------------------------------
     def _find_slot(self, n: int) -> int:
@@ -154,6 +171,7 @@ class BatchedEngine:
         iff the free-prefix-sum gains n over it — O(n_ctx) numpy, not an
         O(n_ctx) Python loop per request per step."""
         free = (self.cell_pos < 0).astype(np.int32)
+        free[self.trash_cell] = 0          # reserved pad-row destination
         if n == 1:
             hits = np.flatnonzero(free)
         else:
@@ -218,6 +236,7 @@ class BatchedEngine:
         run it, sample. Returns False when all requests are done."""
         toks, poss, seqs, cells = [], [], [], []
         sample_rows: list[tuple[Request, int]] = []
+        mixed = False                      # True if any prompt chunk joined
 
         for r in self.requests.values():
             if r.done:
@@ -237,6 +256,7 @@ class BatchedEngine:
                     cells.append(base + i)
                     r.pos += 1
                 r.n_prompt_done += len(chunk)
+                mixed = True
                 if r.n_prompt_done == len(r.prompt):
                     # prompt complete in this ubatch -> its last row samples
                     sample_rows.append((r, len(toks) - 1))
@@ -276,10 +296,10 @@ class BatchedEngine:
         tokens = arr(toks, 0, np.int32)
         positions = arr(poss, 0, np.int32)
         # pad rows: reserved seq id (never allocated) -> fully-masked
-        # attention; cell index n_ctx is out of bounds, which JAX scatter
-        # semantics DROP — pad K/V rows never touch a live cell
+        # attention; their K/V rows land in the reserved trash cell, whose
+        # metadata is never set, so they are invisible to every sequence
         seq_arr = arr(seqs, MAX_SEQ - 1, np.int32)
-        cells_arr = arr(cells, self.n_ctx, np.int32)
+        cells_arr = arr(cells, self.trash_cell, np.int32)
 
         if self.on_device_sampling:
             samp = np.zeros((3, nb), np.float32)
@@ -297,13 +317,13 @@ class BatchedEngine:
                 np.pad(np.asarray(seqs, np.int32), (0, pad),
                        constant_values=MAX_SEQ - 1),
                 np.pad(np.asarray(cells, np.int32), (0, pad),
-                       constant_values=self.n_ctx),
+                       constant_values=self.trash_cell),
                 self.cell_pos.astype(np.int32),
                 self.cell_seq.view(np.int32),
             ])
             toks_out, self.cache = self._step_sampled(
                 self.params, jnp.asarray(packed), jnp.asarray(samp),
-                self.cache, key, nb=nb)
+                self.cache, key, nb=nb, ck=self._stacked and not mixed)
             ids = np.asarray(toks_out)                 # (nb,) int32 — tiny
             for r, row in sample_rows:
                 r.next_tok = int(ids[row])
@@ -311,7 +331,8 @@ class BatchedEngine:
             logits, self.cache = self._step(
                 self.params, tokens, positions, seq_arr, cells_arr,
                 jnp.asarray(self.cell_pos[None]),
-                jnp.asarray(self.cell_seq[None]), self.cache)
+                jnp.asarray(self.cell_seq[None]), self.cache,
+                ck=self._stacked and not mixed)
             lg = np.asarray(logits[0])
             for r, row in sample_rows:
                 r.logits = lg[row]

@@ -281,3 +281,30 @@ def test_batched_stacked_matches_single_sequence(tiny):
     outs = be.run()
     for rid, ref in zip(rids, refs):
         assert outs[rid] == ref, (outs[rid], ref)
+
+
+def test_batched_stacked_cells_kernel_gptj():
+    """BatchedEngine(stacked=True) on a D=128 model: decode-only ubatches
+    take the fused cells kernel (per-row arena writes, one dispatch per
+    layer) and still match the unstacked engine's greedy output."""
+    import importlib
+    from ggml_imax_tpu.models import gptj
+    qmm = importlib.import_module("ggml_imax_tpu.ops.qmatmul")
+    cfg = gptj.GPTJConfig(n_vocab=640, n_ctx=64, n_embd=256, n_head=2,
+                          n_layer=2, n_rot=32)
+    params = gptj.synthetic_params(cfg, GGMLType.Q4_0, seed=17)
+    prompts = [[3, 5, 7, 11], [13, 17]]
+    ref_eng = BatchedEngine(gptj, cfg, params, compute_dtype=jnp.float32,
+                            kv_dtype=jnp.float32)
+    rids = [ref_eng.add_request(p, 5, temp=0.0) for p in prompts]
+    refs = ref_eng.run()
+
+    qmm.set_force_fused(True)
+    try:
+        be = BatchedEngine(gptj, cfg, params, stacked=True)
+        rids2 = [be.add_request(p, 5, temp=0.0) for p in prompts]
+        outs = be.run()
+    finally:
+        qmm.set_force_fused(False)
+    for ra, rb in zip(rids, rids2):
+        assert outs[rb] == refs[ra], (outs[rb], refs[ra])

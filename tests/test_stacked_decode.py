@@ -319,3 +319,67 @@ def test_fused_update_attention_shapes(shape):
     np.testing.assert_allclose(np.asarray(c_fus.k).astype(np.float32),
                                np.asarray(c_ref.k).astype(np.float32),
                                rtol=1e-2, atol=1e-2)
+
+
+@pytest.mark.parametrize("kv", ["bf16", "q8_0"])
+def test_fused_cells_kernel_matches_xla(kv):
+    """decode_attention_update_cells (shared arena, per-row cell writes)
+    matches update_kv_cells + XLA attention under a cells mask, including
+    pad rows routed to a trash cell."""
+    from ggml_imax_tpu.models.common import (cells_attention_mask,
+                                             init_kv_cache, read_kv,
+                                             update_kv_cells)
+    from ggml_imax_tpu.ops.decode_attention import \
+        decode_attention_update_cells
+    from ggml_imax_tpu.ops.flash_attention import attention_xla
+
+    L, T, H, D = 2, 256, 2, 128
+    NB = 4                       # 3 live rows + 1 pad
+    trash = T - 1
+    dt = jnp.bfloat16 if kv == "bf16" else "q8_0"
+    rng = np.random.default_rng(9)
+    c_ref = init_kv_cache(L, 1, T, H, D, dt, flat=True)
+    c_fus = init_kv_cache(L, 1, T, H, D, dt, flat=True)
+
+    # simulate 2 steps of 3 concurrent sequences writing to spread cells
+    cell_pos = np.full(T, -1, np.int32)
+    cell_seq = np.zeros(T, np.uint32)
+    for step in range(2):
+        rows = np.array([step * 8 + 0, step * 8 + 3, step * 8 + 5, trash],
+                        np.int32)
+        seqs = np.array([0, 1, 2, 31], np.int32)
+        poss = np.array([step, step, step, 0], np.int32)
+        for r, sq, p in zip(rows[:3], seqs[:3], poss[:3]):
+            cell_pos[r] = p
+            cell_seq[r] = np.uint32(1 << sq)
+        mask = cells_attention_mask(
+            jnp.asarray(poss[None]), jnp.asarray(seqs[None]),
+            jnp.asarray(cell_pos[None]), jnp.asarray(cell_seq[None]))
+        # (1, 1, NB, T) -> per-row (NB, T)
+        mask_rows = mask[0, 0]
+
+        for li in range(L):
+            q = jnp.asarray(rng.standard_normal((NB, 1, H, D)), jnp.float32)
+            kn = jnp.asarray(rng.standard_normal((NB, 1, H, D)) * 0.5,
+                             jnp.float32)
+            vn = jnp.asarray(rng.standard_normal((NB, 1, H, D)) * 0.5,
+                             jnp.float32)
+            # reference: celled scatter (B=1, T=NB tokens) + XLA attention
+            c_ref = update_kv_cells(c_ref, li, kn.reshape(1, NB, H, D),
+                                    vn.reshape(1, NB, H, D),
+                                    jnp.asarray(rows[None]))
+            kr, vr = read_kv(c_ref, li, dtype=jnp.float32)
+            a_ref = attention_xla(q.reshape(1, NB, H, D), kr, vr, mask,
+                                  out_dtype=jnp.float32)
+            a_fus, c_fus = decode_attention_update_cells(
+                c_fus, li, q, kn, vn, jnp.asarray(rows), mask_rows)
+            # pad row (fully masked) is NaN in the XLA softmax and a clamped
+            # zero in the kernel; compare the live rows
+            np.testing.assert_allclose(np.asarray(a_fus)[:3],
+                                       np.asarray(a_ref[0])[:3],
+                                       rtol=2e-2, atol=2e-2)
+    # arenas agree on every live cell
+    live = cell_pos >= 0
+    kf = np.asarray(c_fus.k, np.float32)[:, 0, live]
+    kr_ = np.asarray(c_ref.k, np.float32)[:, 0, live]
+    np.testing.assert_allclose(kf, kr_, rtol=1e-2, atol=1e-2)
