@@ -173,7 +173,7 @@ def init_cache_tp(cfg, mesh: Mesh, batch: int = 1, n_ctx: int | None = None,
     (H/tp)*D is head-aligned). `heads` metadata is LOCAL so the shard_map
     body's attention sees a consistent local cache."""
     tp = mesh.shape[axis]
-    H = cfg.n_head
+    H = getattr(cfg, "n_head_kv", cfg.n_head)     # GQA: cache KV heads
     assert H % tp == 0, (H, tp)
     cache = init_kv_cache(cfg.n_layer, batch, n_ctx or cfg.n_ctx, H,
                           cfg.head_dim, dtype, flat=True)
@@ -300,3 +300,180 @@ def collective_volume_model(cfg, tp: int, *, batch: int = 1,
             "allgather_bytes_per_tok": int(ag_bytes),
             "t_step_ms": (t_hbm + t_ici) * 1e3,
             "predicted_scaling_efficiency": eff}
+
+
+# ---- LLaMA-family TP (GQA, sequential attn->mlp residuals) ----
+
+
+def shard_params_tp_llama(params: dict, mesh: Mesh, cfg, axis: str = "tp"):
+    """TP placement for the fully-fused stacked LLaMA layout (fuse_qkv +
+    fuse_gate_up + stack_model): qkv/gu column-sharded component-wise,
+    o/down row-sharded (plain contiguous shards — single-segment rows need
+    no permutation), norms replicated. The lm head (`output`) column-shards
+    when present; a tied embedding head stays replicated (each device
+    computes full logits from the replicated embedding). Returns
+    (params, in_specs)."""
+    tp = mesh.shape[axis]
+    E, H, Hkv, D = cfg.n_embd, cfg.n_head, cfg.n_head_kv, cfg.head_dim
+    KV = Hkv * D
+    st = params["stack"]
+    assert "qkv_w" in st and "gu_w" in st, \
+        "llama TP expects fuse_qkv + fuse_gate_up + stack_model"
+    F = st["gu_w"].n // 2
+    assert E % (tp * 128) == 0 and KV % (tp * D) == 0 and F % (tp * 128) == 0
+
+    def put(x, *spec):
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    def put_qt(qt, *spec):
+        return replace(
+            qt, q=put(qt.q, *spec), scale=put(qt.scale, *spec),
+            bias=None if qt.bias is None else put(qt.bias, *spec))
+
+    def fit_bk(qt, k_loc):
+        bk = qt.interleaved_bk
+        while bk >= 64 and k_loc % bk:
+            bk //= 2
+        assert k_loc % bk == 0, (k_loc, qt.interleaved_bk)
+        return bk
+
+    out = {"stack": {}}
+    specs = {"stack": {}}
+
+    perm_qkv = _dev_interleave([(0, E), (E, KV), (E + KV, KV)], tp)
+    qkv = _take(st["qkv_w"], perm_qkv, "n")
+    out["stack"]["qkv_w"] = replace(put_qt(qkv, None, None, axis),
+                                    n=qkv.n // tp)
+    specs["stack"]["qkv_w"] = P(None, None, axis)
+
+    perm_gu = _dev_interleave([(0, F), (F, F)], tp)
+    gu = _take(st["gu_w"], perm_gu, "n")
+    out["stack"]["gu_w"] = replace(put_qt(gu, None, None, axis),
+                                   n=gu.n // tp)
+    specs["stack"]["gu_w"] = P(None, None, axis)
+
+    for name in ("o_w", "down_w"):
+        qt = st[name]
+        k_loc = qt.k // tp
+        out["stack"][name] = replace(
+            put_qt(qt, None, axis, None), k=k_loc,
+            interleaved_bk=fit_bk(qt, k_loc))
+        specs["stack"][name] = P(None, axis, None)
+
+    for k, v in st.items():
+        if k in ("qkv_w", "gu_w", "o_w", "down_w"):
+            continue
+        assert not isinstance(v, QTensor), f"unexpected stacked QTensor {k}"
+        out["stack"][k] = put(v)
+        specs["stack"][k] = P()
+
+    for k, v in params.items():
+        if k == "stack":
+            continue
+        if k == "output" and isinstance(v, QTensor):
+            assert v.n % (128 * tp) == 0, (v.n, tp)
+            out[k] = replace(put_qt(v, None, axis), n=v.n // tp)
+            specs[k] = P(None, axis)
+        elif isinstance(v, QTensor):
+            out[k] = put_qt(v)
+            specs[k] = P()
+        elif v is None:
+            out[k] = None
+            specs[k] = None
+        else:
+            out[k] = put(v)
+            specs[k] = P()
+    return out, specs
+
+
+def forward_tp_llama(cfg, params, tokens, positions, cache: KVCache, n_past,
+                     mesh: Mesh, specs: dict, axis: str = "tp"):
+    """shard_map TP forward for LLaMA: same per-shard kernels as the
+    single-chip stacked path, TWO psums per layer (sequential attn and mlp
+    residuals — LLaMA has no parallel structure to merge them, unlike
+    GPT-J's single all-reduce)."""
+    import os
+    from ..ops.activations import silu
+    from ..ops.flash_attention import attention
+    from ..ops.embedding import get_rows
+    from ..ops.norms import rms_norm
+    from ..ops.rope import rope
+    from ..ops.decode_attention import (decode_attention_stacked,
+                                        decode_attention_update_stacked)
+    from ..ops.qmatmul import qmatmul, qmatmul_stacked, _force_fused
+    from ..models.common import read_kv
+
+    tp = mesh.shape[axis]
+    E, H, Hkv, D = cfg.n_embd, cfg.n_head, cfg.n_head_kv, cfg.head_dim
+    E_loc, H_loc, Hkv_loc = E // tp, H // tp, Hkv // tp
+    KV_loc = Hkv_loc * D
+    B, T = tokens.shape
+    on_tpu = jax.devices()[0].platform == "tpu"
+    use_kernel = T == 1 and D % 128 == 0 and (on_tpu or _force_fused)
+    fused_upd = use_kernel and \
+        os.environ.get("GGML_FUSED_KV_UPDATE", "1") == "1"
+    rope_args = dict(n_dims=D, mode=cfg.rope_mode, freq_base=cfg.rope_base,
+                     freq_scale=cfg.rope_scale)
+
+    def body(params, tokens, positions, cache, n_past):
+        st = params["stack"]
+        qts = {k: v for k, v in st.items() if isinstance(v, QTensor)}
+        small = {k: v for k, v in st.items() if not isinstance(v, QTensor)}
+        x = get_rows(params["tok_embd"], tokens, dtype=jnp.float32)
+        from ..models.common import attention_mask
+        mask = attention_mask(positions, cache.n_ctx, n_past)
+
+        def layer(carry, xs):
+            x, cache = carry
+            li, sm = xs
+            cur = rms_norm(x, sm["attn_norm"], eps=cfg.rms_eps)
+            qkv = qmatmul_stacked(cur, qts["qkv_w"], li)
+            q = qkv[..., :E_loc].reshape(B, T, H_loc, D)
+            kk = qkv[..., E_loc:E_loc + KV_loc].reshape(B, T, Hkv_loc, D)
+            vv = qkv[..., E_loc + KV_loc:].reshape(B, T, Hkv_loc, D)
+            q = rope(q, positions, **rope_args)
+            kk = rope(kk, positions, **rope_args)
+            if fused_upd:
+                attn, cache2 = decode_attention_update_stacked(
+                    cache, li, q, kk, vv, n_past, mask)
+            elif use_kernel:
+                cache2 = update_kv(cache, li, kk, vv, n_past)
+                attn = decode_attention_stacked(cache2, li, q, mask)
+            else:
+                cache2 = update_kv(cache, li, kk, vv, n_past)
+                attn = attention(q, *read_kv(cache2, li, dtype=q.dtype),
+                                 mask, out_dtype=jnp.float32)
+            y = qmatmul_stacked(attn.reshape(B, T, E_loc), qts["o_w"], li)
+            x = x + jax.lax.psum(y, axis)
+            cur = rms_norm(x, sm["ffn_norm"], eps=cfg.rms_eps)
+            gu = qmatmul_stacked(cur, qts["gu_w"], li)
+            F_loc = gu.shape[-1] // 2
+            ff = silu(gu[..., :F_loc]) * gu[..., F_loc:]
+            y = qmatmul_stacked(ff, qts["down_w"], li)
+            x = x + jax.lax.psum(y, axis)
+            return (x, cache2), None
+
+        lis = jnp.arange(cfg.n_layer, dtype=jnp.int32)
+        (x, cache), _ = jax.lax.scan(layer, (x, cache), (lis, small))
+        x = rms_norm(x, params["out_norm"], eps=cfg.rms_eps)
+        head = params["output"] if params.get("output") is not None \
+            else params["tok_embd"]
+        logits = qmatmul(x, head, out_dtype=jnp.float32)
+        if params.get("output") is not None:
+            logits = jax.lax.all_gather(logits, axis, axis=logits.ndim - 1,
+                                        tiled=True)
+        return logits, cache
+
+    cspec = cache_spec(cache, axis)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(specs, P(), P(), cspec, P()),
+        out_specs=(P(), cspec),
+        check_vma=False)
+    logits, cache = fn(params, tokens, positions, cache,
+                       jnp.asarray(n_past, jnp.int32))
+    head_n = (params["output"].n * tp if params.get("output") is not None
+              else params["tok_embd"].n)
+    if head_n > cfg.n_vocab:
+        logits = logits[..., :cfg.n_vocab]
+    return logits, cache

@@ -134,3 +134,59 @@ def test_collective_volume_model():
     m1 = collective_volume_model(cfg, 2)
     m2 = collective_volume_model(cfg, 8)
     assert m2["t_step_ms"] < m1["t_step_ms"]
+
+
+def test_tp_llama_decode_matches_single_device(mesh):
+    """LLaMA TP (GQA, two psums/layer) matches the single-device stacked
+    path through prefill + decode."""
+    from ggml_imax_tpu.models import llama
+    from ggml_imax_tpu.parallel.tp import (forward_tp_llama,
+                                           shard_params_tp_llama)
+    from ggml_imax_tpu.quant.device import quantize_for_device
+
+    cfg = llama.LlamaConfig(n_vocab=1024, n_ctx=64, n_embd=512, n_head=4,
+                            n_head_kv=4, n_layer=2, n_ff=1024)
+    rng = np.random.default_rng(23)
+
+    def build():
+        r = np.random.default_rng(23)
+        q = lambda s: quantize_for_device(
+            (r.standard_normal(s) * 0.05).astype(np.float32), GGMLType.Q4_0)
+        vec = lambda n: jnp.asarray(
+            (r.standard_normal(n) * 0.05).astype(np.float32))
+        E, F, KV = cfg.n_embd, cfg.n_ff, cfg.n_head_kv * cfg.head_dim
+        p = {"tok_embd": q((E, cfg.n_vocab)), "out_norm": vec(E) + 1.0,
+             "output": q((E, 2048)), "layers": []}
+        for _ in range(cfg.n_layer):
+            p["layers"].append({
+                "attn_norm": vec(E) + 1.0,
+                "q_w": q((E, E)), "k_w": q((E, KV)), "v_w": q((E, KV)),
+                "o_w": q((E, E)), "ffn_norm": vec(E) + 1.0,
+                "gate_w": q((E, F)), "up_w": q((E, F)), "down_w": q((F, E)),
+            })
+        return llama.stack_model(
+            params_repack_device(llama.prepare_fused(p)))
+
+    set_force_fused(True)
+    try:
+        ref = build()
+        tp_params, specs = shard_params_tp_llama(build(), mesh, cfg)
+        c1 = llama.init_cache(cfg, batch=1, n_ctx=64, flat=True)
+        c4 = init_cache_tp(cfg, mesh, batch=1, n_ctx=64)
+        toks = jnp.asarray(np.arange(1, 5, dtype=np.int32)[None])
+        pos = jnp.asarray(np.arange(4, dtype=np.int32)[None])
+        l1, c1 = llama.forward(cfg, ref, toks, pos, c1, 0)
+        l4, c4 = forward_tp_llama(cfg, tp_params, toks, pos, c4, 0, mesh,
+                                  specs)
+        # 'output' head n=2048 > n_vocab -> both slice to vocab
+        assert l4.shape == l1.shape == (1, 4, cfg.n_vocab)
+        np.testing.assert_allclose(np.asarray(l4), np.asarray(l1),
+                                   rtol=2e-3, atol=2e-3)
+        tok = jnp.argmax(l1[:, -1:], -1).astype(jnp.int32)
+        p1 = jnp.full((1, 1), 4, jnp.int32)
+        l1, _ = llama.forward(cfg, ref, tok, p1, c1, 4)
+        l4, _ = forward_tp_llama(cfg, tp_params, tok, p1, c4, 4, mesh, specs)
+        np.testing.assert_allclose(np.asarray(l4), np.asarray(l1),
+                                   rtol=2e-3, atol=2e-3)
+    finally:
+        set_force_fused(False)
