@@ -181,12 +181,12 @@ def test_tp_llama_decode_matches_single_device(mesh):
         # 'output' head n=2048 > n_vocab -> both slice to vocab
         assert l4.shape == l1.shape == (1, 4, cfg.n_vocab)
         np.testing.assert_allclose(np.asarray(l4), np.asarray(l1),
-                                   rtol=2e-3, atol=2e-3)
+                                   rtol=5e-3, atol=5e-3)
         tok = jnp.argmax(l1[:, -1:], -1).astype(jnp.int32)
         p1 = jnp.full((1, 1), 4, jnp.int32)
         l1, _ = llama.forward(cfg, ref, tok, p1, c1, 4)
         l4, _ = forward_tp_llama(cfg, tp_params, tok, p1, c4, 4, mesh, specs)
         np.testing.assert_allclose(np.asarray(l4), np.asarray(l1),
-                                   rtol=2e-3, atol=2e-3)
+                                   rtol=5e-3, atol=5e-3)
     finally:
         set_force_fused(False)
