@@ -30,6 +30,39 @@ MAGIC = b"GITG"          # ggml-imax-tpu graph
 VERSION = 1
 
 
+def _register_serializations():
+    """Register the framework's pytree nodes (QTensor, KVCache) with
+    jax.export so full model steps — not just plain-array graphs — can be
+    shipped as artifacts (the reference exports whole cgraphs with typed
+    tensor records, ggml.c:19957-19984)."""
+    from ..quant.device import QTensor
+    from ..models.common import KVCache
+    from ..quant.formats import GGMLType
+
+    def ser_qt(aux):
+        kind, k, n, t, z, ibk, q4l, name, ns = aux
+        return json.dumps([kind, k, n, int(t), z, ibk, q4l, name,
+                           ns]).encode()
+
+    def des_qt(b):
+        kind, k, n, t, z, ibk, q4l, name, ns = json.loads(b.decode())
+        return (kind, k, n, GGMLType(t), z, ibk, q4l, name, ns)
+
+    try:
+        jax_export.register_pytree_node_serialization(
+            QTensor, serialized_name="ggml_imax_tpu.QTensor",
+            serialize_auxdata=ser_qt, deserialize_auxdata=des_qt)
+        jax_export.register_pytree_node_serialization(
+            KVCache, serialized_name="ggml_imax_tpu.KVCache",
+            serialize_auxdata=lambda aux: json.dumps(aux).encode(),
+            deserialize_auxdata=lambda b: json.loads(b.decode()))
+    except ValueError:
+        pass                               # already registered
+
+
+_register_serializations()
+
+
 def export_graph(fn, example_args, path: str | Path, *,
                  platforms: tuple[str, ...] | None = None) -> None:
     """Trace fn(*example_args) and write a self-contained executable graph.

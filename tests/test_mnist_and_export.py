@@ -61,3 +61,44 @@ def test_graph_export_rejects_foreign_file(tmp_path):
     from ggml_imax_tpu.io.graph_export import load_graph
     with pytest.raises(ValueError, match="magic"):
         load_graph(p)
+
+
+def test_export_stacked_decode_step(tmp_path):
+    """ggml_graph_export parity beyond MNIST: the full stacked GPT-J decode
+    step (scan-over-layers + interpret-mode fused kernels + donated flat
+    KV arena) round-trips through the StableHLO artifact and reproduces
+    logits without the model code."""
+    import importlib
+    import numpy as np
+    import jax.numpy as jnp
+    from ggml_imax_tpu.io.graph_export import export_graph, load_graph
+    from ggml_imax_tpu.models import gptj
+    from ggml_imax_tpu.ops.pallas_qmm import params_repack_device
+    from ggml_imax_tpu.quant.formats import GGMLType
+    qmm = importlib.import_module("ggml_imax_tpu.ops.qmatmul")
+
+    cfg = gptj.GPTJConfig(n_vocab=640, n_ctx=32, n_embd=256, n_head=2,
+                          n_layer=2, n_rot=32)
+    params = gptj.synthetic_params(cfg, GGMLType.Q4_0, seed=31)
+    import os
+    os.environ["GGML_FUSE_FF"] = "1"
+    params = gptj.stack_model(params_repack_device(
+        gptj.fuse_out(gptj.prepare_fused(params))))
+    cache = gptj.init_cache(cfg, batch=1, n_ctx=32, flat=True)
+    tok = jnp.asarray([[5]], jnp.int32)
+    pos = jnp.zeros((1, 1), jnp.int32)
+
+    def step(params, tok, pos, cache):
+        return gptj.forward(cfg, params, tok, pos, cache, 0)
+
+    qmm.set_force_fused(True)
+    try:
+        want, _ = step(params, tok, pos, cache)
+        p = tmp_path / "gptj-step.gitg"
+        export_graph(step, (params, tok, pos, cache), p)
+        fn = load_graph(p)
+        got, _ = fn(params, tok, pos, cache)
+    finally:
+        qmm.set_force_fused(False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
