@@ -308,3 +308,43 @@ def test_batched_stacked_cells_kernel_gptj():
         qmm.set_force_fused(False)
     for ra, rb in zip(rids, rids2):
         assert outs[rb] == refs[ra], (outs[rb], refs[ra])
+
+
+def test_batched_stacked_llama_gqa():
+    """BatchedEngine(stacked=True) over LLaMA with GQA: decode-only ubatches
+    route through the cells kernel (D=128), greedy parity vs unstacked."""
+    import importlib
+    from ggml_imax_tpu.models import llama
+    from ggml_imax_tpu.quant.device import quantize_for_device
+    qmm = importlib.import_module("ggml_imax_tpu.ops.qmatmul")
+    cfg = llama.LlamaConfig(n_vocab=640, n_ctx=64, n_embd=256, n_head=2,
+                            n_head_kv=1, n_layer=2, n_ff=512)
+    rng = np.random.default_rng(41)
+    q = lambda s: quantize_for_device(
+        (rng.standard_normal(s) * 0.05).astype(np.float32), GGMLType.Q4_0)
+    vec = lambda n: jnp.asarray(
+        (rng.standard_normal(n) * 0.05).astype(np.float32))
+    E, F, KV = cfg.n_embd, cfg.n_ff, cfg.n_head_kv * cfg.head_dim
+    params = {"tok_embd": q((E, cfg.n_vocab)), "out_norm": vec(E) + 1.0,
+              "output": None, "layers": []}
+    for _ in range(cfg.n_layer):
+        params["layers"].append({
+            "attn_norm": vec(E) + 1.0,
+            "q_w": q((E, E)), "k_w": q((E, KV)), "v_w": q((E, KV)),
+            "o_w": q((E, E)), "ffn_norm": vec(E) + 1.0,
+            "gate_w": q((E, F)), "up_w": q((E, F)), "down_w": q((F, E)),
+        })
+    ref_eng = BatchedEngine(llama, cfg, params, compute_dtype=jnp.float32,
+                            kv_dtype=jnp.float32)
+    rids = [ref_eng.add_request(p, 4, temp=0.0)
+            for p in ([3, 5, 7], [11, 13])]
+    refs = ref_eng.run()
+    qmm.set_force_fused(True)
+    try:
+        be = BatchedEngine(llama, cfg, params, stacked=True)
+        rids2 = [be.add_request(p, 4, temp=0.0) for p in ([3, 5, 7], [11, 13])]
+        outs = be.run()
+    finally:
+        qmm.set_force_fused(False)
+    for ra, rb in zip(rids, rids2):
+        assert outs[rb] == refs[ra], (outs[rb], refs[ra])
