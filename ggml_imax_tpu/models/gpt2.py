@@ -168,8 +168,9 @@ def _forward_stacked(cfg: GPT2Config, params, tokens, positions, cache,
     import jax
     from ..ops.decode_attention import (decode_attention_stacked,
                                         decode_attention_update_cells,
-                                        decode_attention_update_stacked)
-    from ..ops.qmatmul import qmatmul_stacked, _force_fused
+                                        decode_attention_update_stacked,
+                                        select_decode_path)
+    from ..ops.qmatmul import qmatmul_stacked
     from ..quant.device import QTensor
 
     B, T = tokens.shape
@@ -182,16 +183,8 @@ def _forward_stacked(cfg: GPT2Config, params, tokens, positions, cache,
     x = x + params["wpe"][positions]
     if mask is None:
         mask = attention_mask(positions, cache.n_ctx, n_past)
-    on_tpu = jax.devices()[0].platform == "tpu"
-    use_kernel = (T == 1 and cells is None and D % 128 == 0
-                  and (on_tpu or _force_fused))
-    fused_upd = (use_kernel and cache.flat
-                 and os.environ.get("GGML_FUSED_KV_UPDATE", "1") == "1")
-    use_cells_kernel = (cells_kernel and cells is not None and B == 1
-                        and cache.flat and D % 128 == 0 and mask is not None
-                        and (on_tpu or _force_fused)
-                        and os.environ.get("GGML_FUSED_KV_UPDATE", "1")
-                        == "1")
+    path = select_decode_path(T=T, B=B, D=D, cells=cells, cache=cache,
+                              cells_kernel=cells_kernel, mask=mask)
 
     def body(carry, xs):
         x, cache = carry
@@ -202,15 +195,15 @@ def _forward_stacked(cfg: GPT2Config, params, tokens, positions, cache,
         q = q.reshape(B, T, H, D)
         kk = kk.reshape(B, T, H, D)
         vv = vv.reshape(B, T, H, D)
-        if use_cells_kernel:
+        if path == "cells":
             attn, cache2 = decode_attention_update_cells(
                 cache, li, q.reshape(T, 1, H, D), kk.reshape(T, 1, H, D),
                 vv.reshape(T, 1, H, D), cells[0], mask[0, 0])
             attn = attn.reshape(B, T, H, D)
-        elif fused_upd:
+        elif path == "fused":
             attn, cache2 = decode_attention_update_stacked(
                 cache, li, q, kk, vv, n_past, mask)
-        elif use_kernel:
+        elif path == "kernel":
             cache2 = update_kv(cache, li, kk, vv, n_past)
             attn = decode_attention_stacked(cache2, li, q, mask)
         else:

@@ -527,3 +527,34 @@ def decode_attention_update_cells(cache, li, q, k_new, v_new, rows, mask, *,
         li, rows, q, cache.k, cache.v, None, None, kn, vn, None, None, m2,
         hkv=cache.heads, scale=float(scale), interpret=interpret, cells=True)
     return attn, KVCache(k2, v2, heads=cache.heads)
+
+
+def select_decode_path(*, T, B, D, cells, cache, cells_kernel=False,
+                       mask=None):
+    """THE one copy of the stacked-decode attention dispatch gate (the
+    models' scan bodies and the TP forwards all route through it):
+
+      "cells"  - fused cells kernel (decode-only celled ubatch, shared flat
+                 arena, per-row writes)
+      "fused"  - fused KV-write + attention kernel (single-stream decode,
+                 flat arena aliased in place)
+      "kernel" - XLA dynamic-update-slice + read-only attention kernel
+      "xla"    - XLA update (contiguous or celled) + XLA attention
+
+    Gates: single-token (or celled single-row) queries only, 128-lane head
+    alignment, real TPU (or the force_fused test hook), and the
+    GGML_FUSED_KV_UPDATE=0 escape hatch for A/B measurement."""
+    import os
+    from .qmatmul import _force_fused
+    on_tpu = jax.devices()[0].platform == "tpu"
+    fused_env = os.environ.get("GGML_FUSED_KV_UPDATE", "1") == "1"
+    hw = (D % 128 == 0) and (on_tpu or _force_fused)
+    if (cells_kernel and cells is not None and B == 1 and cache.flat
+            and mask is not None and hw and fused_env):
+        return "cells"
+    use_kernel = T == 1 and cells is None and hw
+    if use_kernel and cache.flat and fused_env:
+        return "fused"
+    if use_kernel:
+        return "kernel"
+    return "xla"

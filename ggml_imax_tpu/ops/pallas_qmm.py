@@ -608,15 +608,8 @@ def _quantize_activations_q8(x2: jax.Array, k: int, g: int = 32):
 
 
 def _natpair_unpack(qs_ref, interpret):
-    """(bk/2, bn) packed natpair bytes -> (bk, bn) int8 values (q - 8)."""
-    if interpret:
-        g = qs_ref[:].astype(jnp.int32)
-        lo = ((g & 15) ^ 8) - 8
-        hi = ((g >> 4) ^ 8) - 8
-        bk2, bn = lo.shape
-        return jnp.stack([lo, hi], axis=1).reshape(2 * bk2, bn) \
-            .astype(jnp.int8)
-    return pltpu.bitcast(qs_ref[:], jnp.int4).astype(jnp.int8)
+    """(bk/2, bn) packed natpair bytes (ref) -> (bk, bn) int8 (q - 8)."""
+    return _natpair_unpack_2d(qs_ref[:], interpret)
 
 
 def _kernel_natpair_w4a8(has_bias, nb, interpret, *refs):
@@ -959,7 +952,9 @@ def _kernel_natpair_w4a8_stk(has_bias, nb, interpret, *refs):
 
 
 def _natpair_unpack_2d(qs, interpret):
-    """(bk/2, bn) packed natpair bytes (already loaded) -> (bk, bn) int8."""
+    """(bk/2, bn) packed natpair bytes (loaded array) -> (bk, bn) int8
+    values (q - 8) — the ONE copy of the nibble math (both the stacked and
+    unstacked kernels route here)."""
     if interpret:
         g = qs.astype(jnp.int32)
         lo = ((g & 15) ^ 8) - 8

@@ -80,9 +80,13 @@ def sample_device(logits, key, *, top_k=40, top_p=0.9, temp=1.0,
     probs = jax.nn.softmax(vals, axis=-1)
     if not (isinstance(top_p, float) and top_p >= 1.0):
         cum = jnp.cumsum(probs, axis=-1)
-        # keep tokens up to and including the one crossing top_p
+        # keep tokens up to and including the one crossing top_p; the top-1
+        # token ALWAYS survives (llama.cpp keeps >= 1 candidate — top_p <= 0
+        # must mean greedy, not a uniform draw over zeroed probabilities)
         keep = (cum - probs) < jnp.asarray(top_p, jnp.float32)
-        probs = jnp.where(keep, probs, 0.0)
+        first = jax.lax.broadcasted_iota(jnp.int32, probs.shape,
+                                         probs.ndim - 1) == 0
+        probs = jnp.where(keep | first, probs, 0.0)
     # Gumbel-max draw over the filtered set
     g = jax.random.gumbel(key, probs.shape)
     z = jnp.log(jnp.maximum(probs, 1e-30)) + g

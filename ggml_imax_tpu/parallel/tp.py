@@ -212,10 +212,13 @@ def forward_tp(cfg, params, tokens, positions, cache: KVCache, n_past,
     E, H, D = cfg.n_embd, cfg.n_head, cfg.head_dim
     E_loc, H_loc = E // tp, H // tp
     B, T = tokens.shape
-    on_tpu = jax.devices()[0].platform == "tpu"
-    use_kernel = T == 1 and D % 128 == 0 and (on_tpu or _force_fused)
-    fused_upd = use_kernel and \
-        os.environ.get("GGML_FUSED_KV_UPDATE", "1") == "1"
+    from ..ops.decode_attention import select_decode_path
+    # per-device caches are flat; cells-mode does not apply under TP
+    class _FlatProbe:
+        flat = True
+    path = select_decode_path(T=T, B=B, D=D, cells=None, cache=_FlatProbe)
+    use_kernel = path in ("fused", "kernel")
+    fused_upd = path == "fused"
 
     def body(params, tokens, positions, cache, n_past):
         st = params["stack"]
@@ -408,10 +411,13 @@ def forward_tp_llama(cfg, params, tokens, positions, cache: KVCache, n_past,
     E_loc, H_loc, Hkv_loc = E // tp, H // tp, Hkv // tp
     KV_loc = Hkv_loc * D
     B, T = tokens.shape
-    on_tpu = jax.devices()[0].platform == "tpu"
-    use_kernel = T == 1 and D % 128 == 0 and (on_tpu or _force_fused)
-    fused_upd = use_kernel and \
-        os.environ.get("GGML_FUSED_KV_UPDATE", "1") == "1"
+    from ..ops.decode_attention import select_decode_path
+    # per-device caches are flat; cells-mode does not apply under TP
+    class _FlatProbe:
+        flat = True
+    path = select_decode_path(T=T, B=B, D=D, cells=None, cache=_FlatProbe)
+    use_kernel = path in ("fused", "kernel")
+    fused_upd = path == "fused"
     rope_args = dict(n_dims=D, mode=cfg.rope_mode, freq_base=cfg.rope_base,
                      freq_scale=cfg.rope_scale)
 

@@ -111,26 +111,27 @@ class BatchedEngine:
         self.head = 0
         self.requests: dict[int, Request] = {}
         self._next_seq = 0
-        try:
+        import inspect
+        sig_ic = inspect.signature(model_module.init_cache).parameters
+        if "flat" in sig_ic:
             self.cache = model_module.init_cache(
                 cfg, batch=1, n_ctx=self.n_ctx, dtype=kv_dtype,
                 flat=self._stacked)
-        except TypeError:          # models without a flat-layout cache
+        else:
+            assert not self._stacked, \
+                f"{model_module.__name__} has no flat-cache layout"
             self.cache = model_module.init_cache(
                 cfg, batch=1, n_ctx=self.n_ctx, dtype=kv_dtype)
+        has_ck = "cells_kernel" in \
+            inspect.signature(model_module.forward).parameters
 
         def step(params, tokens, positions, seqs, cells, cell_pos, cell_seq,
                  cache, ck=False):
             mask = cells_attention_mask(positions, seqs, cell_pos, cell_seq)
-            try:
-                return model_module.forward(
-                    cfg, params, tokens, positions, cache, 0,
-                    compute_dtype=compute_dtype, cells=cells, mask=mask,
-                    cells_kernel=ck)
-            except TypeError:      # models without the fused cells kernel
-                return model_module.forward(
-                    cfg, params, tokens, positions, cache, 0,
-                    compute_dtype=compute_dtype, cells=cells, mask=mask)
+            kw = {"cells_kernel": ck} if has_ck else {}
+            return model_module.forward(
+                cfg, params, tokens, positions, cache, 0,
+                compute_dtype=compute_dtype, cells=cells, mask=mask, **kw)
         self._step = jax.jit(step, donate_argnums=(7,),
                              static_argnames=("ck",))
 
@@ -208,6 +209,14 @@ class BatchedEngine:
         seq = next(s for s in range(MAX_SEQ - 1) if s not in used)
         rid = self._next_seq
         self._next_seq += 1
+        if self.on_device_sampling and top_k > self._k_max \
+                and not getattr(self, "_warned_k", False):
+            import warnings
+            warnings.warn(
+                f"on-device sampling clamps top_k to the static candidate "
+                f"window ({self._k_max}); construct the engine with "
+                f"top_k={top_k} to widen it", stacklevel=2)
+            self._warned_k = True
         self.requests[rid] = Request(
             seq=seq, prompt=list(map(int, prompt_tokens)),
             n_predict=n_predict, top_k=top_k, top_p=top_p, temp=temp,
@@ -307,7 +316,11 @@ class BatchedEngine:
             samp[2] = 0.9
             for r, row in sample_rows:
                 samp[0, row] = max(0.0, r.temp)
-                samp[1, row] = min(max(r.top_k, 1), self._k_max)
+                # llama.cpp semantics: top_k <= 0 disables the filter — on
+                # device that means the full static candidate window; larger
+                # requests clamp to it (warned once at add_request)
+                samp[1, row] = self._k_max if r.top_k <= 0 \
+                    else min(r.top_k, self._k_max)
                 samp[2, row] = r.top_p
             self._step_no += 1
             key = jax.random.fold_in(self._key, self._step_no)

@@ -156,10 +156,7 @@ def test_fused_update_attention_matches_two_step(kv):
                 c_fus, li, q, kn, vn, n_past, mask)
             np.testing.assert_allclose(np.asarray(a_fus), np.asarray(a_ref),
                                        rtol=2e-3, atol=2e-3)
-            if li == L - 1:
-                c_ref = c_ref2
-            else:
-                c_ref = c_ref2
+            c_ref = c_ref2
         np.testing.assert_allclose(
             np.asarray(c_fus.k).astype(np.float32),
             np.asarray(c_ref.k).astype(np.float32), rtol=1e-2, atol=1e-2)
