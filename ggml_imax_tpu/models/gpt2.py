@@ -164,7 +164,6 @@ def stack_model(params):
 def _forward_stacked(cfg: GPT2Config, params, tokens, positions, cache,
                      n_past, *, compute_dtype, precision, cells, mask,
                      cells_kernel=False):
-    import os
     import jax
     from ..ops.decode_attention import (decode_attention_stacked,
                                         decode_attention_update_cells,

@@ -197,7 +197,6 @@ def forward_tp(cfg, params, tokens, positions, cache: KVCache, n_past,
     """TP forward over the stacked fused layout: shard_map body mirrors
     models.gptj._forward_stacked with a single per-layer psum and a tiled
     lm-head all-gather. Returns (full logits, updated sharded cache)."""
-    import os
     from ..ops.activations import gelu
     from ..ops.flash_attention import attention
     from ..ops.embedding import get_rows
@@ -205,7 +204,7 @@ def forward_tp(cfg, params, tokens, positions, cache: KVCache, n_past,
     from ..ops.rope import rope
     from ..ops.decode_attention import (decode_attention_stacked,
                                         decode_attention_update_stacked)
-    from ..ops.qmatmul import qmatmul, qmatmul_stacked, _force_fused
+    from ..ops.qmatmul import qmatmul, qmatmul_stacked
     from ..models.common import read_kv
 
     tp = mesh.shape[axis]
@@ -395,7 +394,6 @@ def forward_tp_llama(cfg, params, tokens, positions, cache: KVCache, n_past,
     single-chip stacked path, TWO psums per layer (sequential attn and mlp
     residuals — LLaMA has no parallel structure to merge them, unlike
     GPT-J's single all-reduce)."""
-    import os
     from ..ops.activations import silu
     from ..ops.flash_attention import attention
     from ..ops.embedding import get_rows
@@ -403,7 +401,7 @@ def forward_tp_llama(cfg, params, tokens, positions, cache: KVCache, n_past,
     from ..ops.rope import rope
     from ..ops.decode_attention import (decode_attention_stacked,
                                         decode_attention_update_stacked)
-    from ..ops.qmatmul import qmatmul, qmatmul_stacked, _force_fused
+    from ..ops.qmatmul import qmatmul, qmatmul_stacked
     from ..models.common import read_kv
 
     tp = mesh.shape[axis]

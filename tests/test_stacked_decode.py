@@ -380,3 +380,42 @@ def test_fused_cells_kernel_matches_xla(kv):
     kf = np.asarray(c_fus.k, np.float32)[:, 0, live]
     kr_ = np.asarray(c_ref.k, np.float32)[:, 0, live]
     np.testing.assert_allclose(kf, kr_, rtol=1e-2, atol=1e-2)
+
+
+def test_select_decode_path_gates():
+    """The shared dispatch gate (ONE copy of the kernel-selection rules)."""
+    import importlib
+    import os
+    from ggml_imax_tpu.ops.decode_attention import select_decode_path
+    qmm = importlib.import_module("ggml_imax_tpu.ops.qmatmul")
+
+    class Flat:
+        flat = True
+
+    class R5:
+        flat = False
+
+    qmm.set_force_fused(True)
+    old = os.environ.get("GGML_FUSED_KV_UPDATE")
+    try:
+        base = dict(T=1, B=1, D=128, cells=None, cache=Flat)
+        os.environ["GGML_FUSED_KV_UPDATE"] = "1"
+        assert select_decode_path(**base) == "fused"
+        assert select_decode_path(**{**base, "cache": R5}) == "kernel"
+        assert select_decode_path(**{**base, "D": 64}) == "xla"
+        assert select_decode_path(**{**base, "T": 4}) == "xla"
+        cells = object()
+        assert select_decode_path(**{**base, "T": 8, "cells": cells,
+                                     "cells_kernel": True,
+                                     "mask": object()}) == "cells"
+        # pure celled ubatch without the decode-only promise -> xla scatter
+        assert select_decode_path(**{**base, "T": 8,
+                                     "cells": cells}) == "xla"
+        os.environ["GGML_FUSED_KV_UPDATE"] = "0"   # A/B escape hatch
+        assert select_decode_path(**base) == "kernel"
+    finally:
+        qmm.set_force_fused(False)
+        if old is None:
+            os.environ.pop("GGML_FUSED_KV_UPDATE", None)
+        else:
+            os.environ["GGML_FUSED_KV_UPDATE"] = old
