@@ -360,3 +360,32 @@ def test_whisper_stacked_decoder_matches():
                                        rtol=3e-2, atol=3e-2)
     finally:
         qmm.set_force_fused(False)
+
+
+def test_whisper_pipeline_stacked_decoder():
+    """WhisperPipeline drives the STACKED decoder end to end (transcribe
+    with greedy beam) and matches the unstacked pipeline's tokens on the
+    same audio — the stacked layout is a drop-in for serving."""
+    import importlib
+    from ggml_imax_tpu.runtime.whisper_pipeline import (FullParams,
+                                                        WhisperPipeline)
+    from ggml_imax_tpu.audio.mel import mel_filterbank
+    from ggml_imax_tpu.ops.pallas_qmm import params_repack_device
+    qmm = importlib.import_module("ggml_imax_tpu.ops.qmatmul")
+
+    _, _, cfg, params = tiny_pair(seed=4)
+    vocab = [f"<{i}>".encode() for i in range(cfg.n_vocab)]
+    rng = np.random.default_rng(5)
+    samples = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    fp = FullParams(beam_size=1, max_tokens=5, temperatures=(0.0,),
+                    logprob_thold=-1e9, entropy_thold=1e9)
+
+    pipe = WhisperPipeline(cfg, params, mel_filterbank(cfg.n_mels),
+                           vocab, compute_dtype=jnp.float32)
+    ref = pipe.transcribe(samples, fp)
+
+    stk = W.stack_decoder(params_repack_device(W.prepare_fused(params)))
+    pipe2 = WhisperPipeline(cfg, stk, mel_filterbank(cfg.n_mels),
+                            vocab, compute_dtype=jnp.float32)
+    got = pipe2.transcribe(samples, fp)
+    assert [s.tokens for s in got] == [s.tokens for s in ref]
