@@ -348,3 +348,22 @@ def test_batched_stacked_llama_gqa():
         qmm.set_force_fused(False)
     for ra, rb in zip(rids, rids2):
         assert outs[rb] == refs[ra], (outs[rb], refs[ra])
+
+
+def test_engine_q4_stacked_chunked_generate():
+    """residency='q4-stacked' composes with the on-device chunked decode
+    loop (lax.scan over the scan-over-layers step, one fetch per span)."""
+    import importlib
+    from ggml_imax_tpu.models import gptj
+    qmm = importlib.import_module("ggml_imax_tpu.ops.qmatmul")
+    cfg = gptj.GPTJConfig(n_vocab=640, n_ctx=64, n_embd=256, n_head=2,
+                          n_layer=2, n_rot=32)
+    params = gptj.synthetic_params(cfg, GGMLType.Q4_0, seed=19)
+    qmm.set_force_fused(True)
+    try:
+        eng = Engine(gptj, cfg, params, residency="q4-stacked")
+        ref = eng.generate([3, 5, 7], 6, temp=0.0)
+        got = eng.generate([3, 5, 7], 6, temp=0.0, chunk=3)
+    finally:
+        qmm.set_force_fused(False)
+    assert got == ref, (got, ref)
