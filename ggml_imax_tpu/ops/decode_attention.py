@@ -228,12 +228,16 @@ def _kernel_upd(scale, g_rep, hkv, d, nb, quantized, cells, *refs):
         acc[:] = jnp.zeros_like(acc)
         m_s[:] = jnp.full_like(m_s, NEG)
         l_s[:] = jnp.zeros_like(l_s)
-        # one-row arena write-back (the out windows are constant across kk)
-        ko_ref[0, 0] = kn_ref[0]
-        vo_ref[0, 0] = vn_ref[0]
+        # one-row arena write-back (the out windows are constant across kk).
+        # The arenas are viewed rank-5 (L, B, T, 1, HD) so this window's
+        # last-two block dims (1, HD) EQUAL the array dims — Mosaic rejects
+        # a (…, 1, HD) window over a rank-4 (L, B, T, HD) arena because the
+        # second-to-last block dim (1) is neither ÷8 nor the full T.
+        ko_ref[0, 0, 0] = kn_ref[0]
+        vo_ref[0, 0, 0] = vn_ref[0]
         if quantized:
-            kso_ref[0, 0] = kns_ref[0]
-            vso_ref[0, 0] = vns_ref[0]
+            kso_ref[0, 0, 0] = kns_ref[0]
+            vso_ref[0, 0, 0] = vns_ref[0]
 
     bkl = k_ref.shape[2]
     mask = m_ref[0].astype(jnp.float32)                     # (1, BK)
@@ -249,11 +253,11 @@ def _kernel_upd(scale, g_rep, hkv, d, nb, quantized, cells, *refs):
 
     for h in range(hkv):
         if quantized:
-            ksb = ks_ref[0, 0, :, h * nb:(h + 1) * nb]      # (BK, nb) f32
-            vsb = vs_ref[0, 0, :, h * nb:(h + 1) * nb]
-            kb = (k_ref[0, 0, :, h * d:(h + 1) * d].astype(jnp.float32)
+            ksb = ks_ref[0, 0, :, 0, h * nb:(h + 1) * nb]   # (BK, nb) f32
+            vsb = vs_ref[0, 0, :, 0, h * nb:(h + 1) * nb]
+            kb = (k_ref[0, 0, :, 0, h * d:(h + 1) * d].astype(jnp.float32)
                   * jnp.dot(ksb, expand)).astype(jnp.bfloat16)
-            vb = (v_ref[0, 0, :, h * d:(h + 1) * d].astype(jnp.float32)
+            vb = (v_ref[0, 0, :, 0, h * d:(h + 1) * d].astype(jnp.float32)
                   * jnp.dot(vsb, expand)).astype(jnp.bfloat16)
             knh = (kn_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
                    * jnp.dot(kns_ref[0, :, h * nb:(h + 1) * nb], expand)
@@ -262,8 +266,8 @@ def _kernel_upd(scale, g_rep, hkv, d, nb, quantized, cells, *refs):
                    * jnp.dot(vns_ref[0, :, h * nb:(h + 1) * nb], expand)
                    ).astype(jnp.bfloat16)
         else:
-            kb = k_ref[0, 0, :, h * d:(h + 1) * d]          # (BK, D) bf16
-            vb = v_ref[0, 0, :, h * d:(h + 1) * d]
+            kb = k_ref[0, 0, :, 0, h * d:(h + 1) * d]       # (BK, D) bf16
+            vb = v_ref[0, 0, :, 0, h * d:(h + 1) * d]
             knh = kn_ref[0, :, h * d:(h + 1) * d].astype(jnp.bfloat16)
             vnh = vn_ref[0, :, h * d:(h + 1) * d].astype(jnp.bfloat16)
         qh = q_ref[0, h * g_rep:(h + 1) * g_rep, :].astype(jnp.bfloat16)
@@ -349,22 +353,33 @@ def _decode_attn_upd(li, n_past, q, k, v, ks, vs, kn, vn, kns, vns, mask, *,
 
     m2 = jnp.maximum(jnp.asarray(mask, jnp.float32), NEG).reshape(NB, 1, T)
 
+    # Rank-5 (L, B, T, 1, HD) view of the arenas: Mosaic requires the
+    # last-two dims of every block window to be (÷8, ÷128) or equal to the
+    # array dims — the one-row write-back window (…, 1, HD) only satisfies
+    # that against a rank-5 view where the array's own second-to-last dim
+    # IS 1. The reshape is a bitcast (no data movement, aliasing preserved).
+    k = k.reshape(L, B, T, 1, HD)
+    v = v.reshape(L, B, T, 1, HD)
+    if quantized:
+        ks = ks.reshape(L, B, T, 1, Hkv * nb)
+        vs = vs.reshape(L, B, T, 1, Hkv * nb)
+
     # cells mode reads the single shared arena for every query row
-    ab = (lambda b, kk, s: (s[0], 0, kk, 0)) if cells else \
-        (lambda b, kk, s: (s[0], b, kk, 0))
+    ab = (lambda b, kk, s: (s[0], 0, kk, 0, 0)) if cells else \
+        (lambda b, kk, s: (s[0], b, kk, 0, 0))
     args = [q, k, v]
     in_specs = [
         pl.BlockSpec((1, Hq, D), lambda b, kk, s: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bk, HD), ab, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bk, HD), ab, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, 1, HD), ab, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, 1, HD), ab, memory_space=pltpu.VMEM),
     ]
     if quantized:
         args += [ks, vs]
         in_specs += [
-            pl.BlockSpec((1, 1, bk, Hkv * nb), ab,
+            pl.BlockSpec((1, 1, bk, 1, Hkv * nb), ab,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bk, Hkv * nb), ab,
+            pl.BlockSpec((1, 1, bk, 1, Hkv * nb), ab,
                          memory_space=pltpu.VMEM),
         ]
     args += [kn, vn]
@@ -389,9 +404,9 @@ def _decode_attn_upd(li, n_past, q, k, v, ks, vs, kn, vn, kns, vns, mask, *,
     # outputs: attn + aliased arenas written through ONE-ROW windows at
     # (li, b, n_past, :) — constant across kk, flushed once per b
     # (cells mode: (li, 0, s[1+b], :) — per-row destination cell)
-    rowmap = (lambda b, kk, s: (s[0], 0, s[1 + b], 0)) if cells else \
-        (lambda b, kk, s: (s[0], b, s[1], 0))
-    row_spec = pl.BlockSpec((1, 1, 1, HD), rowmap,
+    rowmap = (lambda b, kk, s: (s[0], 0, s[1 + b], 0, 0)) if cells else \
+        (lambda b, kk, s: (s[0], b, s[1], 0, 0))
+    row_spec = pl.BlockSpec((1, 1, 1, 1, HD), rowmap,
                             memory_space=pltpu.VMEM)
     out_specs = [
         pl.BlockSpec((1, Hq, D), lambda b, kk, s: (b, 0, 0),
@@ -407,7 +422,7 @@ def _decode_attn_upd(li, n_past, q, k, v, ks, vs, kn, vn, kns, vns, mask, *,
     # input_output_aliases indices COUNT the scalar-prefetch operand 0
     aliases = {2: 1, 3: 2}
     if quantized:
-        srow_spec = pl.BlockSpec((1, 1, 1, Hkv * nb), rowmap,
+        srow_spec = pl.BlockSpec((1, 1, 1, 1, Hkv * nb), rowmap,
                                  memory_space=pltpu.VMEM)
         out_specs += [srow_spec, srow_spec]
         out_shape += [jax.ShapeDtypeStruct(ks.shape, ks.dtype),
@@ -443,7 +458,14 @@ def _decode_attn_upd(li, n_past, q, k, v, ks, vs, kn, vn, kns, vns, mask, *,
             transcendentals=NB * Hq * T),
         interpret=interpret,
     )(sp, *args)
-    return outs
+    # collapse the rank-5 view back to the flat (L, B, T, HD) arena layout
+    outs = list(outs)
+    outs[1] = outs[1].reshape(L, B, T, HD)
+    outs[2] = outs[2].reshape(L, B, T, HD)
+    if quantized:
+        outs[3] = outs[3].reshape(L, B, T, Hkv * nb)
+        outs[4] = outs[4].reshape(L, B, T, Hkv * nb)
+    return tuple(outs)
 
 
 def decode_attention_update_stacked(cache, li, q, k_new, v_new, n_past,
