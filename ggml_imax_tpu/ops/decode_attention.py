@@ -39,11 +39,26 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -0.7 * float(np.finfo(np.float32).max)
 
 
-def _pick_bk(t: int) -> int:
+def _pick_bk(t: int, row_bytes: int = 0) -> int:
+    """KV-block length: largest power-of-two divisor of t (≤512), shrunk
+    until one K+V window fits an ~8 MB VMEM budget (Mosaic double-buffers
+    every window; the kernels raise the scoped-vmem limit to _VMEM_LIMIT,
+    and the budget keeps long-context windows well under it)."""
+    bk = t
     for cand in (512, 256, 128):
         if t % cand == 0:
-            return min(cand, t)
-    return t
+            bk = min(cand, t)
+            break
+    while bk > 128 and bk % 2 == 0 and bk * row_bytes > 8 * 1024 * 1024:
+        bk //= 2
+    return bk
+
+
+# Scoped-VMEM ceiling for the decode kernels: the default 16 MB rejects the
+# 6B-geometry fused kernel (double-buffered 512×4096 bf16 K+V windows are
+# 20.3 MB by Mosaic's accounting); total VMEM is 128 MB, so 64 MB is safe
+# headroom for one kernel on the core.
+_VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def _kernel(scale, g_rep, hkv, d, nb, quantized, *refs):
@@ -118,9 +133,10 @@ def _decode_attn(li, q, k, v, ks, vs, mask, *, hkv, scale, interpret):
     D = HD // Hkv
     _, Hq, _ = q.shape
     g_rep = Hq // Hkv
-    bk = _pick_bk(T)
     nb = D // 32 if ks is not None else 0
     quantized = ks is not None
+    bk = _pick_bk(T, 2 * HD * k.dtype.itemsize
+                  + (2 * Hkv * nb * 4 if quantized else 0))
 
     k2, v2 = k, v
     m2 = jnp.maximum(jnp.asarray(mask, jnp.float32), NEG).reshape(B, 1, T)
@@ -167,7 +183,8 @@ def _decode_attn(li, q, k, v, ks, vs, mask, *, hkv, scale, interpret):
         grid_spec=gs,
         out_shape=jax.ShapeDtypeStruct((B, Hq, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * Hq * T * D,
             bytes_accessed=B * (kv_bytes + Hq * D * 8 + T * 4),
@@ -347,9 +364,10 @@ def _decode_attn_upd(li, n_past, q, k, v, ks, vs, kn, vn, kns, vns, mask, *,
     D = HD // Hkv
     _, Hq, _ = q.shape
     g_rep = Hq // Hkv
-    bk = _pick_bk(T)
     nb = D // 32 if ks is not None else 0
     quantized = ks is not None
+    bk = _pick_bk(T, 2 * HD * k.dtype.itemsize
+                  + (2 * Hkv * nb * 4 if quantized else 0))
 
     m2 = jnp.maximum(jnp.asarray(mask, jnp.float32), NEG).reshape(NB, 1, T)
 
@@ -451,7 +469,8 @@ def _decode_attn_upd(li, n_past, q, k, v, ks, vs, kn, vn, kns, vns, mask, *,
         out_shape=out_shape,
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=4 * NB * Hq * T * D,
             bytes_accessed=NB * (kv_bytes + Hq * D * 8 + T * 4),
