@@ -43,13 +43,19 @@ def _pick_bk(t: int, row_bytes: int = 0) -> int:
     """KV-block length: largest power-of-two divisor of t (≤512), shrunk
     until one K+V window fits an ~8 MB VMEM budget (Mosaic double-buffers
     every window; the kernels raise the scoped-vmem limit to _VMEM_LIMIT,
-    and the budget keeps long-context windows well under it)."""
+    and the budget keeps long-context windows well under it).
+
+    Every value returned is Mosaic-legal as the window's second-to-last /
+    last block dim: either the FULL t (a full-dim window is always legal)
+    or a multiple of 256 halved down to 128 — the shrink loop only runs
+    while bk % 256 == 0 so a halving can never produce a non-128-multiple
+    (e.g. t=1000 stays 1000; it never becomes 500/250/125)."""
     bk = t
     for cand in (512, 256, 128):
         if t % cand == 0:
             bk = min(cand, t)
             break
-    while bk > 128 and bk % 2 == 0 and bk * row_bytes > 8 * 1024 * 1024:
+    while bk > 128 and bk % 256 == 0 and bk * row_bytes > 8 * 1024 * 1024:
         bk //= 2
     return bk
 

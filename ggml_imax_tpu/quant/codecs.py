@@ -463,8 +463,14 @@ def _make_q3_quants(x: np.ndarray, nmax: int) -> tuple[np.ndarray, np.ndarray]:
             nlf = new_l.astype(f32)
             slx2 = slx + wi * xi * nlf
             sl22 = sl2 + wi * nlf * nlf
+            # the improvement test MUST stay f32: the reference compares
+            # C floats, where both sides overflowing to inf compares false
+            # — f64 partials would flip some of those outcomes and break
+            # the bit-exact golden contract. Overflow-to-inf is deliberate.
+            with np.errstate(over="ignore"):
+                better = slx2 * slx2 * suml2 > sumlx * sumlx * sl22
             apply = (~stopped) & (slx > 0) & (new_l != L[:, i]) & (sl22 > 0) \
-                & (slx2 * slx2 * suml2 > sumlx * sumlx * sl22)
+                & better
             L[:, i] = np.where(apply, new_l, L[:, i])
             sumlx = np.where(apply, slx2, sumlx)
             suml2 = np.where(apply, sl22, suml2)

@@ -167,20 +167,28 @@ class BatchedEngine:
 
     # -- cell registry ------------------------------------------------------
     def _find_slot(self, n: int) -> int:
-        """First-fit contiguous run of n free cells (llama.cpp find_slot
-        semantics, simplified). Vectorized: a length-n window is all-free
-        iff the free-prefix-sum gains n over it — O(n_ctx) numpy, not an
-        O(n_ctx) Python loop per request per step."""
-        free = (self.cell_pos < 0).astype(np.int32)
-        free[self.trash_cell] = 0          # reserved pad-row destination
-        if n == 1:
-            hits = np.flatnonzero(free)
-        else:
-            c = np.concatenate([[0], np.cumsum(free)])
-            hits = np.flatnonzero(c[n:] - c[:-n] == n)
+        """Head-cursor slot allocator (the reference keeps a head cursor
+        bumped per ubatch, main-batched.cpp:976-981). Common case — the
+        run ahead of the cursor is free — is an O(n) check + bump; only
+        on collision (wraparound into still-live cells) does it fall back
+        to one vectorized first-fit scan, preferring runs at/after the
+        cursor so allocation keeps rolling forward."""
+        nc = self.trash_cell               # usable cells: [0, trash_cell)
+        if n > nc:
+            raise RuntimeError("KV cache full")
+        h = self.head
+        if h + n <= nc and not (self.cell_pos[h:h + n] >= 0).any():
+            self.head = h + n
+            return h
+        free = (self.cell_pos[:nc] < 0).astype(np.int32)
+        c = np.concatenate([[0], np.cumsum(free)])
+        hits = np.flatnonzero(c[n:] - c[:-n] == n)
         if hits.size == 0:
             raise RuntimeError("KV cache full")
-        return int(hits[0])
+        after = hits[hits >= h]
+        base = int(after[0]) if after.size else int(hits[0])
+        self.head = base + n
+        return base
 
     def seq_cp(self, src_seq: int, dst_seq: int, p0: int = 0,
                p1: int | None = None):

@@ -367,3 +367,35 @@ def test_engine_q4_stacked_chunked_generate():
     finally:
         qmm.set_force_fused(False)
     assert got == ref, (got, ref)
+
+
+def test_find_slot_head_cursor_and_wraparound(tiny):
+    """VERDICT r03 item 5: _find_slot keeps a head cursor (O(1) amortized,
+    the reference's head += n_tokens, main-batched.cpp:976-981) and reuses
+    freed cells after wraparound."""
+    cfg, params = tiny
+    be = BatchedEngine(gpt2, cfg, params, compute_dtype=jnp.float32,
+                       n_ctx=17)            # 16 usable cells + trash
+    # sequential appends just bump the cursor
+    a = be._find_slot(4)
+    b = be._find_slot(4)
+    assert (a, b) == (0, 4) and be.head == 8
+    for i in range(8):
+        be.cell_pos[i] = i                  # mark occupied
+        be.cell_seq[i] = np.uint32(1 << (0 if i < 4 else 1))
+    c = be._find_slot(8)                    # fills the rest exactly
+    assert c == 8 and be.head == 16
+    be.cell_pos[8:16] = 9
+    be.cell_seq[8:16] = np.uint32(1 << 2)
+    with pytest.raises(RuntimeError):
+        be._find_slot(1)                    # pool genuinely full
+    # free the FIRST sequence's run -> wraparound reuse at the front
+    be.cell_seq[0:4] = 0
+    be.cell_pos[0:4] = -1
+    d = be._find_slot(3)
+    assert d == 0 and be.head == 3
+    # the trash cell is never handed out even when free
+    be.cell_pos[:] = 5
+    be.cell_pos[be.trash_cell] = -1
+    with pytest.raises(RuntimeError):
+        be._find_slot(1)

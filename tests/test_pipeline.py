@@ -1,5 +1,7 @@
 """Pipeline-parallel tests on the virtual 8-device CPU mesh (SURVEY §2.10
 PP row; replaces the scheduler's micro-batch pipelining)."""
+import os
+
 import numpy as np
 import pytest
 
@@ -69,3 +71,42 @@ def test_log_callback():
     finally:
         L.set_log_callback(None)
     assert seen == [(L.LogLevel.WARN, "hello")]
+
+
+def test_distributed_two_process_psum():
+    """Exercise the REAL jax.distributed.initialize branch
+    (parallel/distributed.py init) across 2 OS processes on CPU — the
+    analog of the reference RPC backend's client/server round trip
+    (ggml-rpc.cpp:569-601, 875). Each process owns 2 CPU devices; the
+    collective spans all 4."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)          # worker sets its own device count
+    worker = os.path.join(os.path.dirname(__file__), "_dist_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=os.path.dirname(os.path.dirname(worker)))
+        for pid in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=180)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"PSUM_OK {pid}" in out, out
+        # row sums of arange(32).reshape(4, 8): col j -> 48 + 4j
+        assert "[48.0, 52.0, 56.0]" in out, out

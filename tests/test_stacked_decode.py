@@ -419,3 +419,19 @@ def test_select_decode_path_gates():
             os.environ.pop("GGML_FUSED_KV_UPDATE", None)
         else:
             os.environ["GGML_FUSED_KV_UPDATE"] = old
+
+
+def test_pick_bk_always_mosaic_legal():
+    """ADVICE r03: the VMEM-budget shrink loop must never produce a block
+    length that is neither a multiple of 128 nor the full T (Mosaic rejects
+    such windows at lowering time; interpret-mode tests can't see it)."""
+    from ggml_imax_tpu.ops.decode_attention import _pick_bk
+    for t in (128, 256, 500, 512, 1000, 1024, 2048, 4096, 8192, 131072):
+        for row_bytes in (0, 8192, 65536, 1 << 20, 8 << 20):
+            bk = _pick_bk(t, row_bytes)
+            assert t % bk == 0, (t, row_bytes, bk)
+            assert bk == t or bk % 128 == 0, (t, row_bytes, bk)
+    # the regression case from the advisory: t=1000 under a big budget
+    assert _pick_bk(1000, 65536) == 1000
+    # budget shrink still works for aligned T
+    assert _pick_bk(4096, 65536) == 128
