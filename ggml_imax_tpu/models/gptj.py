@@ -15,6 +15,7 @@ from ..ops.activations import gelu
 from ..ops.flash_attention import attention
 from ..ops.embedding import get_rows
 from ..ops.norms import layer_norm
+from ..parallel.sharding import constrain_heads
 from ..ops.qmatmul import qmatmul
 from ..ops.rope import rope
 from ..quant.device import to_device_format, quantize_for_device
@@ -411,17 +412,18 @@ def forward(cfg: GPTJConfig, params, tokens, positions, cache: KVCache, n_past,
             # fused QKV+FC_in (fuse_qkv): attention and MLP share `cur`
             # (parallel structure), so ONE GEMV feeds all four projections
             qkvf = mm(cur, lp["qkvf_w"])
-            qkv = qkvf[..., :3 * E].reshape(B, T, 3, H, D)
+            qkv = constrain_heads(qkvf[..., :3 * E].reshape(B, T, 3, H, D))
             q, kk, vv = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
             ff_pre = qkvf[..., 3 * E:]
         elif "qkv_w" in lp:
             # fused QKV only (legacy layout): one GEMV instead of three
-            qkv = mm(cur, lp["qkv_w"]).reshape(B, T, 3, H, D)
+            qkv = constrain_heads(
+                mm(cur, lp["qkv_w"]).reshape(B, T, 3, H, D))
             q, kk, vv = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         else:
-            q = mm(cur, lp["q_w"]).reshape(B, T, H, D)
-            kk = mm(cur, lp["k_w"]).reshape(B, T, H, D)
-            vv = mm(cur, lp["v_w"]).reshape(B, T, H, D)
+            q = constrain_heads(mm(cur, lp["q_w"]).reshape(B, T, H, D))
+            kk = constrain_heads(mm(cur, lp["k_w"]).reshape(B, T, H, D))
+            vv = constrain_heads(mm(cur, lp["v_w"]).reshape(B, T, H, D))
         q = rope(q, positions, n_dims=cfg.n_rot, mode=0)
         kk = rope(kk, positions, n_dims=cfg.n_rot, mode=0)
 

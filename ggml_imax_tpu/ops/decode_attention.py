@@ -590,11 +590,18 @@ def select_decode_path(*, T, B, D, cells, cache, cells_kernel=False,
 
     Gates: single-token (or celled single-row) queries only, 128-lane head
     alignment, real TPU (or the force_fused test hook), and the
-    GGML_FUSED_KV_UPDATE=0 escape hatch for A/B measurement."""
+    GGML_FUSED_KV_UPDATE env toggle.
+
+    Default is "kernel" (two-step): the r04 on-chip 4-way ablation
+    (tools/diag_stacked_combo.py, 28 layers / 512 ctx) measured the fused
+    update kernel at 71.3 ms/step with a 615 s compile vs 6.51 ms for the
+    two-step path — the rank-5 one-row-window aliasing makes XLA copy the
+    carried arena every layer. The fused kernels stay available behind
+    GGML_FUSED_KV_UPDATE=1 for re-measurement after a fix."""
     import os
     from .qmatmul import _force_fused
     on_tpu = jax.devices()[0].platform == "tpu"
-    fused_env = os.environ.get("GGML_FUSED_KV_UPDATE", "1") == "1"
+    fused_env = os.environ.get("GGML_FUSED_KV_UPDATE", "0") == "1"
     hw = (D % 128 == 0) and (on_tpu or _force_fused)
     if (cells_kernel and cells is not None and B == 1 and cache.flat
             and mask is not None and hw and fused_env):

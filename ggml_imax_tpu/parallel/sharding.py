@@ -110,3 +110,31 @@ def shard_kv_cache(cache, mesh: Mesh):
     spec = P(None, "dp", None, "tp", None)
     return KVCache(shard_array(cache.k, mesh, *spec),
                    shard_array(cache.v, mesh, *spec))
+
+
+def constrain_heads(x, axis: str = "tp"):
+    """Pin a (..., H, D) activation's head axis to the tp mesh axis when an
+    abstract mesh carrying that axis is active (jax.sharding.use_abstract_mesh
+    or `with mesh:` via set_mesh); identity otherwise, so model code stays
+    mesh-agnostic.
+
+    Why: a column-parallel QKV projection leaves (B, T, 3EH·D) sharded on the
+    LAST dim; without an anchor GSPMD may push that sharding through the
+    (…, H, D) reshape onto D (or worse, the rope pair-split's trailing 2),
+    then "involuntarily fully rematerialize" to re-partition — a full
+    replication per layer (MULTICHIP_r03 tail warnings). Head-sharding is the
+    consistent choice: tp ≤ H divides the head axis, and (…, H/tp, D) per
+    device is byte-identical to (…, (H·D)/tp) per device, so the constraint
+    is layout-free."""
+    am = jax.sharding.get_abstract_mesh()
+    names = getattr(am, "axis_names", ())
+    if axis in names and am.shape[axis] > 1 \
+            and x.shape[-2] % am.shape[axis] == 0:
+        # keep the batch (leading) dim on dp when present — constraining it
+        # to None would DEMAND replication and force the very all-gather
+        # this anchor exists to avoid
+        lead = "dp" if ("dp" in names and am.shape["dp"] > 1
+                        and x.shape[0] % am.shape["dp"] == 0) else None
+        spec = P(lead, *([None] * (x.ndim - 3)), axis, None)
+        return jax.lax.with_sharding_constraint(x, spec)
+    return x

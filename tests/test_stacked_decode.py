@@ -411,7 +411,14 @@ def test_select_decode_path_gates():
         # pure celled ubatch without the decode-only promise -> xla scatter
         assert select_decode_path(**{**base, "T": 8,
                                      "cells": cells}) == "xla"
-        os.environ["GGML_FUSED_KV_UPDATE"] = "0"   # A/B escape hatch
+        os.environ["GGML_FUSED_KV_UPDATE"] = "0"
+        assert select_decode_path(**base) == "kernel"
+        assert select_decode_path(**{**base, "T": 8, "cells": cells,
+                                     "cells_kernel": True,
+                                     "mask": object()}) == "xla"
+        # default (unset) = two-step: the fused update kernel measured 71.3
+        # vs 6.51 ms/step on chip (r04 ablation) and is opt-in until fixed
+        os.environ.pop("GGML_FUSED_KV_UPDATE")
         assert select_decode_path(**base) == "kernel"
     finally:
         qmm.set_force_fused(False)
