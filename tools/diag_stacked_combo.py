@@ -4,10 +4,14 @@
 Stages weights once, then traces/compiles/times several variants of the
 64-step decode scan, monkeypatching components between traces:
 
-  full        - production stacked path (fused decode-attention kernel)
+  full        - fused KV-write+attention kernel (GGML_FUSED_KV_UPDATE=1)
+  twostep     - XLA dynamic-update-slice + read-only attention kernel
+                (the production default since r04)
   noupd       - update_kv replaced by identity (kernel reads stale arena)
   noattn      - decode-attention kernel replaced by q passthrough (update runs)
   neither     - both ablated (pure GEMV + norms floor)
+  noelem      - neither + layer_norm/rope as identities (pure GEMV floor;
+                neither-noelem attributes the elementwise VPU ops)
   xlaattn     - use_kernel forced off (DUS + XLA-path attention)
 
 The deltas attribute the ms/step between the GEMV stream, the KV update
@@ -65,12 +69,16 @@ tok0 = jnp.ones((1, 1), jnp.int32)
 _real_update = mc.update_kv
 _real_attn = da.decode_attention_stacked
 _gptj_update = gptj.update_kv
+_real_ln = gptj.layer_norm
+_real_rope = gptj.rope
 
 
 def set_variant(name):
     mc.update_kv = _real_update
     gptj.update_kv = _gptj_update
     da.decode_attention_stacked = _real_attn
+    gptj.layer_norm = _real_ln
+    gptj.rope = _real_rope
     import ggml_imax_tpu.ops.qmatmul as qm
     qm._force_fused = False
     os.environ["GGML_FUSED_KV_UPDATE"] = "1" if name == "full" else "0"
@@ -79,9 +87,15 @@ def set_variant(name):
         fake_upd = lambda cache, li, k, v, n_past: cache
         mc.update_kv = fake_upd
         gptj.update_kv = fake_upd
-    if name in ("noattn", "neither"):
+    if name in ("noattn", "neither", "noelem"):
         da.decode_attention_stacked = \
             lambda cache, li, q, mask, **kw: q.astype(jnp.float32)
+    if name == "noelem":
+        fake_upd = lambda cache, li, k, v, n_past: cache
+        mc.update_kv = fake_upd
+        gptj.update_kv = fake_upd
+        gptj.layer_norm = lambda x, g, b: x
+        gptj.rope = lambda x, pos, **kw: x
     if name == "xlaattn":
         force_xla = True
     return force_xla
