@@ -165,7 +165,8 @@ def _forward_stacked(cfg: GPT2Config, params, tokens, positions, cache,
                      n_past, *, compute_dtype, precision, cells, mask,
                      cells_kernel=False):
     import jax
-    from ..ops.decode_attention import (decode_attention_stacked,
+    from ..ops.decode_attention import (decode_attention_cells,
+                                        decode_attention_stacked,
                                         decode_attention_update_cells,
                                         decode_attention_update_stacked,
                                         select_decode_path)
@@ -198,6 +199,11 @@ def _forward_stacked(cfg: GPT2Config, params, tokens, positions, cache,
             attn, cache2 = decode_attention_update_cells(
                 cache, li, q.reshape(T, 1, H, D), kk.reshape(T, 1, H, D),
                 vv.reshape(T, 1, H, D), cells[0], mask[0, 0])
+            attn = attn.reshape(B, T, H, D)
+        elif path == "cells2":
+            cache2 = update_kv_cells(cache, li, kk, vv, cells)
+            attn = decode_attention_cells(
+                cache2, li, q.reshape(T, 1, H, D), mask[0, 0])
             attn = attn.reshape(B, T, H, D)
         elif path == "fused":
             attn, cache2 = decode_attention_update_stacked(

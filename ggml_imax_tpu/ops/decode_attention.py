@@ -122,11 +122,20 @@ def _kernel(scale, g_rep, hkv, d, nb, quantized, *refs):
         o_ref[0] = acc[:] / jnp.maximum(l_s[:, :1], 1e-30)
 
 
-@functools.partial(jax.jit, static_argnames=("hkv", "scale", "interpret"))
-def _decode_attn(li, q, k, v, ks, vs, mask, *, hkv, scale, interpret):
+@functools.partial(jax.jit,
+                   static_argnames=("hkv", "scale", "interpret", "cells"))
+def _decode_attn(li, q, k, v, ks, vs, mask, *, hkv, scale, interpret,
+                 cells=False):
     """k/v: (L, B, T, Hkv*D) flat arena (rank-5 (L, B, T, Hkv, D) accepted
     but costs a full-arena relayout copy on TPU — always pass flat caches
-    on the hot path; see models.common.KVCache)."""
+    on the hot path; see models.common.KVCache).
+
+    cells=True: continuous-batching read-only mode — the arena batch dim
+    is 1 (shared cell pool), q carries NB query rows of distinct
+    sequences, and mask is (NB, T) per-cell visibility
+    (models.common.cells_attention_mask). The rows' fresh K/V must
+    already be scattered into the arena (update_kv_cells) — this is the
+    two-step celled path, the serving analog of "kernel"."""
     if k.ndim == 5:
         L, B, T = k.shape[:3]
         k = k.reshape(L, B, T, -1)
@@ -135,6 +144,9 @@ def _decode_attn(li, q, k, v, ks, vs, mask, *, hkv, scale, interpret):
             ks = ks.reshape(L, B, T, -1)
             vs = vs.reshape(L, B, T, -1)
     L, B, T, HD = k.shape
+    NB = q.shape[0]
+    if cells:
+        assert B == 1, "cells mode shares one arena across query rows"
     Hkv = hkv
     D = HD // Hkv
     _, Hq, _ = q.shape
@@ -145,25 +157,23 @@ def _decode_attn(li, q, k, v, ks, vs, mask, *, hkv, scale, interpret):
                   + (2 * Hkv * nb * 4 if quantized else 0))
 
     k2, v2 = k, v
-    m2 = jnp.maximum(jnp.asarray(mask, jnp.float32), NEG).reshape(B, 1, T)
+    m2 = jnp.maximum(jnp.asarray(mask, jnp.float32), NEG).reshape(NB, 1, T)
 
+    ab = (lambda b, kk, s: (s[0], 0, kk, 0)) if cells else \
+        (lambda b, kk, s: (s[0], b, kk, 0))
     args = [q, k2, v2]
     in_specs = [
         pl.BlockSpec((1, Hq, D), lambda b, kk, s: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bk, Hkv * D), lambda b, kk, s: (s[0], b, kk, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bk, Hkv * D), lambda b, kk, s: (s[0], b, kk, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, Hkv * D), ab, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, Hkv * D), ab, memory_space=pltpu.VMEM),
     ]
     if quantized:
         args += [ks, vs]
         in_specs += [
-            pl.BlockSpec((1, 1, bk, Hkv * nb),
-                         lambda b, kk, s: (s[0], b, kk, 0),
+            pl.BlockSpec((1, 1, bk, Hkv * nb), ab,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bk, Hkv * nb),
-                         lambda b, kk, s: (s[0], b, kk, 0),
+            pl.BlockSpec((1, 1, bk, Hkv * nb), ab,
                          memory_space=pltpu.VMEM),
         ]
     args.append(m2)
@@ -172,7 +182,7 @@ def _decode_attn(li, q, k, v, ks, vs, mask, *, hkv, scale, interpret):
 
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, T // bk),
+        grid=(NB, T // bk),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, Hq, D), lambda b, kk, s: (b, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -187,14 +197,14 @@ def _decode_attn(li, q, k, v, ks, vs, mask, *, hkv, scale, interpret):
     out = pl.pallas_call(
         functools.partial(_kernel, scale, g_rep, Hkv, D, nb, quantized),
         grid_spec=gs,
-        out_shape=jax.ShapeDtypeStruct((B, Hq, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NB, Hq, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * Hq * T * D,
-            bytes_accessed=B * (kv_bytes + Hq * D * 8 + T * 4),
-            transcendentals=B * Hq * T),
+            flops=4 * NB * Hq * T * D,
+            bytes_accessed=NB * (kv_bytes + Hq * D * 8 + T * 4),
+            transcendentals=NB * Hq * T),
         interpret=interpret,
     )(jnp.asarray(li, jnp.int32).reshape(1), *args)
     return out
@@ -218,6 +228,28 @@ def decode_attention_stacked(cache, li, q, mask, *, scale=None,
                        cache.ks, cache.vs, m2, hkv=hkv, scale=float(scale),
                        interpret=interpret)
     return out.reshape(B, 1, Hq, D)
+
+
+def decode_attention_cells(cache, li, q, mask, *, scale=None,
+                           interpret: bool | None = None):
+    """Read-only celled decode attention over the SHARED flat arena (cache
+    batch must be 1): q (NB, 1, Hq, D) rows of distinct sequences whose
+    fresh K/V are ALREADY scattered into the arena (update_kv_cells);
+    mask (NB, n_ctx) per-cell visibility. Returns (NB, 1, Hq, D) f32.
+    The two-step serving path: XLA scatter + this kernel — vs the
+    in-scan XLA attention it replaces (152.8 ms/step measured r04)."""
+    NB, Tq, Hq, D = q.shape
+    assert Tq == 1, "decode kernel is single-token only"
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    scale = scale if scale is not None else 1.0 / math.sqrt(D)
+    T = cache.k.shape[2]
+    hkv = cache.heads if cache.flat else cache.k.shape[3]
+    m2 = jnp.asarray(mask, jnp.float32).reshape(NB, T)
+    out = _decode_attn(li, q.reshape(NB, Hq, D), cache.k, cache.v,
+                       cache.ks, cache.vs, m2, hkv=hkv, scale=float(scale),
+                       interpret=interpret, cells=True)
+    return out.reshape(NB, 1, Hq, D)
 
 
 # ---- fused KV-update + decode attention (single dispatch per layer) ----
@@ -583,6 +615,8 @@ def select_decode_path(*, T, B, D, cells, cache, cells_kernel=False,
 
       "cells"  - fused cells kernel (decode-only celled ubatch, shared flat
                  arena, per-row writes)
+      "cells2" - XLA scatter + read-only cells attention kernel (decode-only
+                 celled ubatch; the serving default)
       "fused"  - fused KV-write + attention kernel (single-stream decode,
                  flat arena aliased in place)
       "kernel" - XLA dynamic-update-slice + read-only attention kernel
@@ -604,8 +638,8 @@ def select_decode_path(*, T, B, D, cells, cache, cells_kernel=False,
     fused_env = os.environ.get("GGML_FUSED_KV_UPDATE", "0") == "1"
     hw = (D % 128 == 0) and (on_tpu or _force_fused)
     if (cells_kernel and cells is not None and B == 1 and cache.flat
-            and mask is not None and hw and fused_env):
-        return "cells"
+            and mask is not None and hw):
+        return "cells" if fused_env else "cells2"
     use_kernel = T == 1 and cells is None and hw
     if use_kernel and cache.flat and fused_env:
         return "fused"

@@ -415,11 +415,14 @@ def test_select_decode_path_gates():
         assert select_decode_path(**base) == "kernel"
         assert select_decode_path(**{**base, "T": 8, "cells": cells,
                                      "cells_kernel": True,
-                                     "mask": object()}) == "xla"
+                                     "mask": object()}) == "cells2"
         # default (unset) = two-step: the fused update kernel measured 71.3
         # vs 6.51 ms/step on chip (r04 ablation) and is opt-in until fixed
         os.environ.pop("GGML_FUSED_KV_UPDATE")
         assert select_decode_path(**base) == "kernel"
+        assert select_decode_path(**{**base, "T": 8, "cells": cells,
+                                     "cells_kernel": True,
+                                     "mask": object()}) == "cells2"
     finally:
         qmm.set_force_fused(False)
         if old is None:
@@ -442,3 +445,82 @@ def test_pick_bk_always_mosaic_legal():
     assert _pick_bk(1000, 65536) == 1000
     # budget shrink still works for aligned T
     assert _pick_bk(4096, 65536) == 128
+
+
+@pytest.mark.parametrize("kv", ["bf16", "q8_0"])
+def test_cells2_kernel_matches_xla(kv):
+    """decode_attention_cells (read-only shared-arena kernel, the two-step
+    serving path) matches XLA attention over the same scattered arena."""
+    from ggml_imax_tpu.models.common import (cells_attention_mask,
+                                             init_kv_cache, read_kv,
+                                             update_kv_cells)
+    from ggml_imax_tpu.ops.decode_attention import decode_attention_cells
+    from ggml_imax_tpu.ops.flash_attention import attention_xla
+
+    L, T, H, D = 2, 256, 2, 128
+    NB = 4                       # 3 live rows + 1 pad
+    trash = T - 1
+    dt = jnp.bfloat16 if kv == "bf16" else "q8_0"
+    rng = np.random.default_rng(11)
+    c = init_kv_cache(L, 1, T, H, D, dt, flat=True)
+
+    cell_pos = np.full(T, -1, np.int32)
+    cell_seq = np.zeros(T, np.uint32)
+    for step in range(2):
+        rows = np.array([step * 8 + 0, step * 8 + 3, step * 8 + 5, trash],
+                        np.int32)
+        seqs = np.array([0, 1, 2, 31], np.int32)
+        poss = np.array([step, step, step, 0], np.int32)
+        for r, sq, p in zip(rows[:3], seqs[:3], poss[:3]):
+            cell_pos[r] = p
+            cell_seq[r] = np.uint32(1 << sq)
+        mask = cells_attention_mask(
+            jnp.asarray(poss[None]), jnp.asarray(seqs[None]),
+            jnp.asarray(cell_pos[None]), jnp.asarray(cell_seq[None]))
+        mask_rows = mask[0, 0]
+
+        for li in range(L):
+            q = jnp.asarray(rng.standard_normal((NB, 1, H, D)), jnp.float32)
+            kn = jnp.asarray(rng.standard_normal((NB, 1, H, D)) * 0.5,
+                             jnp.float32)
+            vn = jnp.asarray(rng.standard_normal((NB, 1, H, D)) * 0.5,
+                             jnp.float32)
+            c = update_kv_cells(c, li, kn.reshape(1, NB, H, D),
+                                vn.reshape(1, NB, H, D),
+                                jnp.asarray(rows[None]))
+            kr, vr = read_kv(c, li, dtype=jnp.float32)
+            a_ref = attention_xla(q.reshape(1, NB, H, D), kr, vr, mask,
+                                  out_dtype=jnp.float32)
+            a_k = decode_attention_cells(c, li, q, mask_rows)
+            np.testing.assert_allclose(
+                np.asarray(a_k).reshape(NB, H, D)[:3],
+                np.asarray(a_ref[0])[:3], rtol=2e-2, atol=2e-2)
+
+
+def test_batched_stacked_cells2_e2e():
+    """BatchedEngine(stacked=True) decode-only ubatches route through the
+    cells2 path by default (fused env unset: scatter + read-only cells
+    kernel) and match the unstacked engine's greedy output."""
+    import importlib
+    import os
+    from ggml_imax_tpu.models import gptj as gj
+    from ggml_imax_tpu.runtime.batched import BatchedEngine
+    qmm = importlib.import_module("ggml_imax_tpu.ops.qmatmul")
+    assert os.environ.get("GGML_FUSED_KV_UPDATE", "0") != "1"
+    cfg = gj.GPTJConfig(n_vocab=640, n_ctx=64, n_embd=256, n_head=2,
+                        n_layer=2, n_rot=32)
+    params = gj.synthetic_params(cfg, GGMLType.Q4_0, seed=17)
+    prompts = [[3, 5, 7, 11], [13, 17]]
+    ref_eng = BatchedEngine(gj, cfg, params, compute_dtype=jnp.float32,
+                            kv_dtype=jnp.float32)
+    rids = [ref_eng.add_request(p, 5, temp=0.0) for p in prompts]
+    refs = ref_eng.run()
+    qmm.set_force_fused(True)          # interpret-mode kernels on CPU
+    try:
+        be = BatchedEngine(gj, cfg, params, stacked=True)
+        rids2 = [be.add_request(p, 5, temp=0.0) for p in prompts]
+        outs = be.run()
+    finally:
+        qmm.set_force_fused(False)
+    for ra, rb in zip(rids, rids2):
+        assert outs[rb] == refs[ra], (outs[rb], refs[ra])

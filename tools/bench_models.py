@@ -193,16 +193,30 @@ def measure_whisper(name, cfg, *, dec_tokens=64):
         enc = W.encode(cfg, params, mel)
         return W.precompute_cross_kv(cfg, params, enc)
 
+    def _force(tree):
+        # axon tunnel: block_until_ready does NOT wait for execution;
+        # only a value fetch round-trips (see bench.py NOTE)
+        return float(jax.tree.leaves(tree)[0].ravel()[0])
+
     t0 = time.time()
-    cross = jax.block_until_ready(enc_fn(params, mel))
+    cross = enc_fn(params, mel)
+    _force(cross)
     print(f"# {name}: encoder compile+first {time.time()-t0:.0f}s",
           file=sys.stderr)
+    # calibrate the fetch round-trip so it can be subtracted
+    lat = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _force(cross)
+        lat.append(time.perf_counter() - t0)
+    fetch_lat = min(lat)
     enc_best = None
     for _ in range(3):
         t0 = time.perf_counter()
-        cross = enc_fn(params, mel)
-        jax.block_until_ready(cross)
-        dt = time.perf_counter() - t0
+        for _ in range(4):                 # chain 4 encodes per fetch
+            cross = enc_fn(params, mel)
+        _force(cross)
+        dt = (time.perf_counter() - t0 - fetch_lat) / 4
         enc_best = dt if enc_best is None else min(enc_best, dt)
 
     sot = jnp.full((1, 1), cfg.token_sot, jnp.int32)

@@ -20,6 +20,7 @@ Variants measured at the GPT-J decode shape (m=1, K=4096, N=16384):
 Usage: python tools/bench_qmm_variants.py [-r REPS] [-f FILTER]
 """
 import argparse
+import os
 import sys
 import time
 from functools import partial
@@ -37,7 +38,8 @@ jax.config.update("jax_compilation_cache_dir",
                   str(Path(__file__).resolve().parents[1] / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-K, N = 4096, 16384
+K = int(os.environ.get("GGML_QMM_K", "4096"))
+N = int(os.environ.get("GGML_QMM_N", "16384"))
 
 
 # ---------------------------------------------------------------- data ----
@@ -447,7 +449,8 @@ def main():
 
     print(f"# device: {jax.devices()[0].platform}, bytes/GEMV={GEMV_BYTES}")
     for name, fn, exp in cases:
-        if args.filter and args.filter not in name:
+        import re
+        if args.filter and not re.search(args.filter, name):
             continue
         try:
             if exp is not None:

@@ -32,9 +32,16 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+import os
+
 import jax
 
-jax.config.update("jax_platforms", "cpu")   # deterministic, tunnel-free
+if os.environ.get("GGML_QGATE_PLATFORM", "cpu") == "cpu":
+    # deterministic, tunnel-free (default). GGML_QGATE_PLATFORM=default
+    # keeps the real backend — used by `--train-only --geometry mid` to
+    # train the 117M-scale proxy on the TPU chip (CPU-infeasible), whose
+    # pickled weights the CPU eval run then loads.
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   str(Path(__file__).resolve().parents[1] / ".jax_cache"))
 
@@ -60,19 +67,25 @@ VOCAB, CTX = 64, 256
 NOISE_TOL = 0.01
 
 
+# per-context successor distribution; the mid geometry uses a wider, flatter
+# profile (8 successors, ideal PPL ~6.4) so the 117M-scale proxy has real
+# structure left to lose under quantization
+SUCC_PROBS = np.array([0.6, 0.25, 0.1, 0.05])
+
+
 def markov_corpus(n_tokens: int, seed: int = 0) -> np.ndarray:
-    """Order-2 sparse Markov language: each (a, b) context allows 4 successors
-    with a shared Zipf-ish profile. The transition table (the *language*) is
-    pinned to lang-seed 0 so train and held-out corpora sample the same
-    distribution; `seed` varies only the sampled trajectory. Ideal PPL =
-    exp(H) ~ 2.9; uniform = VOCAB."""
+    """Order-2 sparse Markov language: each (a, b) context allows
+    len(SUCC_PROBS) successors with a shared Zipf-ish profile. The transition
+    table (the *language*) is pinned to lang-seed 0 so train and held-out
+    corpora sample the same distribution; `seed` varies only the sampled
+    trajectory. Ideal PPL = exp(H); uniform = VOCAB."""
+    ns = len(SUCC_PROBS)
     lang = np.random.default_rng(0)
-    succ = lang.integers(0, VOCAB, size=(VOCAB, VOCAB, 4))
-    probs = np.array([0.6, 0.25, 0.1, 0.05])
+    succ = lang.integers(0, VOCAB, size=(VOCAB, VOCAB, ns))
     rng = np.random.default_rng(seed + 1)
     toks = np.empty(n_tokens, np.int64)
     toks[0], toks[1] = rng.integers(0, VOCAB), rng.integers(0, VOCAB)
-    choices = rng.choice(4, size=n_tokens, p=probs)
+    choices = rng.choice(ns, size=n_tokens, p=SUCC_PROBS)
     for i in range(2, n_tokens):
         toks[i] = succ[toks[i - 2], toks[i - 1], choices[i]]
     return toks.astype(np.int32)
@@ -178,13 +191,31 @@ def main():
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--retrain", action="store_true",
                     help="ignore the cached trained params")
+    ap.add_argument("--geometry", choices=("small", "mid"), default="small",
+                    help="small = 2L/128E/64V (CPU-trainable); mid = "
+                         "12L/768E/512V (GPT-2-117M scale, VERDICT r03 "
+                         "item 4 — train it on the chip via --train-only "
+                         "with GGML_QGATE_PLATFORM=default first)")
+    ap.add_argument("--train-only", action="store_true",
+                    help="train + pickle the proxy model, skip the evals")
     args = ap.parse_args()
 
-    # 2L/128E learns the synthetic language in CPU-feasible time; larger
-    # geometries train too slowly here to reach structure worth gating on
-    cfg = gpt2.GPT2Config(n_vocab=VOCAB, n_ctx=CTX, n_embd=128, n_head=4,
-                          n_layer=2)
-    steps = args.steps or (60 if args.fast else 1500)
+    global VOCAB, SUCC_PROBS
+    if args.geometry == "mid":
+        # 117M-scale proxy on a harder language (512-token vocab, 8
+        # successors/context) so format deltas aren't dominated by a toy
+        # model's flat loss landscape
+        VOCAB = 512
+        SUCC_PROBS = np.array(
+            [0.35, 0.2, 0.15, 0.1, 0.08, 0.06, 0.04, 0.02])
+        cfg = gpt2.GPT2Config(n_vocab=VOCAB, n_ctx=CTX, n_embd=768,
+                              n_head=12, n_layer=12)
+        steps = args.steps or 1200
+    else:
+        # 2L/128E learns the synthetic language in CPU-feasible time
+        cfg = gpt2.GPT2Config(n_vocab=VOCAB, n_ctx=CTX, n_embd=128, n_head=4,
+                              n_layer=2)
+        steps = args.steps or (60 if args.fast else 1500)
 
     cache_f = Path(__file__).resolve().parents[1] / ".jax_cache" / \
         f"qgate_params_{cfg.n_layer}L{cfg.n_embd}E_{steps}.pkl"
@@ -199,6 +230,9 @@ def main():
         import pickle
         cache_f.parent.mkdir(exist_ok=True)
         cache_f.write_bytes(pickle.dumps(jax.device_get(params)))
+    if args.train_only:
+        print(f"# trained params pickled to {cache_f}", file=sys.stderr)
+        return
     heldout = markov_corpus(8 * CTX, seed=99)
 
     # reference logits for KL: f32 dense
@@ -269,13 +303,16 @@ def main():
             import pickle
             np.savez(np_path, heldout=heldout,
                      sim_logits=np.asarray(sim_logits[0], np.float32),
-                     ppl_bf16=ppl_bf16)
+                     ppl_bf16=ppl_bf16,
+                     cfg=np.array([cfg.n_vocab, cfg.n_ctx, cfg.n_embd,
+                                   cfg.n_head, cfg.n_layer]))
             (np_path.with_suffix(".params.pkl")).write_bytes(
                 pickle.dumps(jax.device_get(qp)))
             print(f"# wrote TPU-row reference bundle {np_path}",
                   file=sys.stderr)
 
-    out = Path(__file__).resolve().parents[1] / "docs" / "QUALITY.md"
+    out = Path(__file__).resolve().parents[1] / "docs" / (
+        "QUALITY_117M.md" if args.geometry == "mid" else "QUALITY.md")
     with open(out, "w") as f:
         f.write(
             "# Quantization quality gate — whole-model PPL delta / logits KL\n\n"

@@ -48,7 +48,14 @@ params = pickle.loads(bundle.with_suffix(".params.pkl").read_bytes())
 heldout = ref["heldout"]
 sim_logits = ref["sim_logits"]                     # (CTX, V) CPU W4A8 sim
 
-cfg = gpt2.GPT2Config(n_vocab=64, n_ctx=CTX, n_embd=128, n_head=4, n_layer=2)
+if "cfg" in ref:
+    _v, _c, _e, _h, _l = (int(x) for x in ref["cfg"])
+    cfg = gpt2.GPT2Config(n_vocab=_v, n_ctx=_c, n_embd=_e, n_head=_h,
+                          n_layer=_l)
+    CTX = _c
+else:  # pre-r04 bundle (small geometry, no cfg record)
+    cfg = gpt2.GPT2Config(n_vocab=64, n_ctx=CTX, n_embd=128, n_head=4,
+                          n_layer=2)
 
 t0 = time.time()
 params = params_repack_device(params)              # natpair W4A8 layouts
