@@ -31,14 +31,17 @@ BASELINE_TOK_S = 8.0  # GPT-J-6B, reference README.md:101 (125 ms/token)
 
 def main():
     import os
-    tiles = os.environ.get("GGML_W4A8_TILES")
-    if tiles:
-        from ggml_imax_tpu.ops.pallas_qmm import set_w4a8_tiles
-        bkk, bn = map(int, tiles.split(","))
-        set_w4a8_tiles(bkk, bn)
-        print(f"# w4a8 tiles: bkk={bkk} bn={bn}", file=sys.stderr)
+    if os.environ.get("GGML_W4A8_TILES"):
+        # parsed by ops.pallas_qmm at import ("BKKxBN")
+        from ggml_imax_tpu.ops import pallas_qmm as _pq
+        print(f"# w4a8 tiles: bkk={_pq._W4A8_BKK} bn={_pq._W4A8_BN}",
+              file=sys.stderr)
     small = "--small" in sys.argv
-    stacked = "--stacked" in sys.argv
+    # stacked two-step decode is the default since r04: it beats the
+    # unrolled path on every axis measured on chip (6.51 vs 6.73 ms/step
+    # in-scan, TTFT 76 vs 80 ms, cold warmup 5.8 vs 69.7 s — one compiled
+    # layer body instead of 28). --unrolled keeps the A/B available.
+    stacked = "--unrolled" not in sys.argv or "--stacked" in sys.argv
     resident = "bf16" if "--resident=bf16" in sys.argv else "q4"
     batch = 1
     for a in sys.argv:
@@ -63,7 +66,6 @@ def main():
         # 1.2x faster than dense bf16 per GEMV at 1/4 the HBM footprint).
         # Pad the LM head's vocab dim to a 128 tile so it takes the fused
         # path too; padded logits get -1e30 bias so argmax never picks them.
-        from dataclasses import replace as _rp
         from ggml_imax_tpu.ops.pallas_qmm import params_repack_device
         sdt = {"bf16": jnp.bfloat16}.get(
             os.environ.get("GGML_W4A8_SCALE_DTYPE", ""), None)
@@ -74,16 +76,10 @@ def main():
         params = gptj.fuse_qkv(params)     # 1 GEMV for q/k/v (+fc_in) per layer
         if stacked:
             params = gptj.fuse_out(params)  # 1 GEMV for o_proj+fc_out
-        h = params["lmh_w"]
-        vpad = (-h.n) % 128
-        if vpad and h.kind == "nib4":
-            params["lmh_w"] = _rp(
-                h,
-                q=jnp.pad(h.q, ((0, 0), (0, vpad))),
-                scale=jnp.pad(h.scale, ((0, 0), (0, vpad))),
-                n=h.n + vpad)
-            params["lmh_b"] = jnp.pad(params["lmh_b"], (0, vpad),
-                                      constant_values=-1e30)
+        # pad the LM head's vocab dim so it takes the fused path with
+        # full-width n-tiles (2048 pad for the 50k vocab; padded logits get
+        # -1e30 bias so argmax never picks them)
+        params = gptj.pad_lm_head(params)
         params = params_repack_device(params, scale_dtype=sdt)
         if stacked:
             # scan-over-layers + fused KV-write kernel: ONE compiled layer
@@ -221,8 +217,46 @@ def main():
         print(f"# chained rep{rep}: {dt*1e3:.1f} ms", file=sys.stderr)
         best = dt if best is None else min(best, dt)
     dt = best
-    tok_s = n_meas * batch / dt
+    per_call_tok_s = n_meas * batch / dt
     print(f"# {n_meas} chained steps in {dt*1e3:.1f} ms (batch={batch})",
+          file=sys.stderr)
+
+    # headline: the chunked on-device decode loop (lax.scan over 64
+    # data-dependent steps, argmax on device — Engine.generate's chunked
+    # mode). One dispatch per 64 tokens, so the tunnel's per-call latency
+    # doesn't pollute the device number; the per-call figure is reported
+    # alongside as per_call_tok_s.
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("n",))
+    def decode_n(params, tok, cache, start, n):
+        def body(carry, i):
+            tok, cache = carry
+            pos = jnp.full((batch, 1), start + i, jnp.int32)
+            logits, cache = gptj.forward(cfg, params, tok, pos, cache,
+                                         start + i)
+            nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+            return (nxt, cache), ()
+        (tok, cache), _ = jax.lax.scan(body, (tok, cache), jnp.arange(n))
+        return tok, cache
+
+    start0 = n_warm + 3 * n_meas
+    t0 = time.time()
+    tok, cache = decode_n(params, tok, cache, start0, n=n_meas)
+    _ = int(tok[0, 0])
+    print(f"# scan warmup (compile+first exec): {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    best = None
+    for rep in range(3):
+        t0 = time.perf_counter()
+        tok, cache = decode_n(params, tok, cache,
+                              start0 + n_meas * (1 + rep), n=n_meas)
+        _ = int(tok[0, 0])
+        dtr = time.perf_counter() - t0 - fetch_lat
+        print(f"# scan rep{rep}: {dtr*1e3:.1f} ms", file=sys.stderr)
+        best = dtr if best is None else min(best, dtr)
+    tok_s = n_meas * batch / best
+    print(f"# scan: {n_meas} tokens in {best*1e3:.1f} ms (batch={batch})",
           file=sys.stderr)
 
     # p50 TTFT (BASELINE.json metric string): prefill a 448-token prompt +
@@ -260,6 +294,8 @@ def main():
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / BASELINE_TOK_S, 2),
+        "per_call_tok_s": round(per_call_tok_s, 2),
+        "mode": "stacked" if stacked else "unrolled",
         "p50_ttft_ms": round(p50_ttft * 1e3, 1),
         "ttft_prompt_tokens": T,
         "warmup_s": round(warmup_s, 1),

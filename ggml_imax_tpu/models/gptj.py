@@ -4,6 +4,7 @@ rotary (n_rot) in ggml's normal mode, untied LM head with bias.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -241,16 +242,25 @@ def fuse_qkv(params):
     return out
 
 
-def pad_lm_head(params, multiple: int = 128):
-    """Pad lmh_w's vocab dim to a 128 multiple so the LM head takes the
-    fused Pallas path (qmatmul's `n % 128` gate — GPT-J's 50400 otherwise
-    silently falls back to XLA dequant). Padded logit columns get a -1e30
-    bias so argmax/top-k never select them; forward() slices logits back
-    to cfg.n_vocab. Call BEFORE params_repack_device."""
+def pad_lm_head(params, multiple: int | None = None):
+    """Pad lmh_w's vocab dim so the LM head takes the fused Pallas path
+    (qmatmul's `n % 128` gate — GPT-J's 50400 otherwise silently falls back
+    to XLA dequant). Padded logit columns get a -1e30 bias so argmax/top-k
+    never select them; forward() slices logits back to cfg.n_vocab. Call
+    BEFORE params_repack_device.
+
+    multiple=None picks 2048 for production-size vocabs (>=16384) so the
+    decode GEMV keeps full-width n-tiles — 50400 padded only to a 128
+    multiple (50432 = 256*197) forces bn=256 and measurably halves the LM
+    head's weight-stream bandwidth — and 128 for small/test vocabs where a
+    2048 pad would dominate the matrix."""
     from ..quant.device import pad_qtensor_cols
     h = params["lmh_w"]
     if h.kind == "dense":
         return params
+    if multiple is None:
+        multiple = int(os.environ.get("GGML_LMH_PAD", "0")) or \
+            (2048 if h.n >= 16384 else 128)
     h2, npad = pad_qtensor_cols(h, multiple)
     if npad == 0:
         return params

@@ -19,6 +19,7 @@ per-32 formats (for which s_lo == s_hi).
 """
 from __future__ import annotations
 
+import os
 from dataclasses import replace
 from functools import partial
 
@@ -33,6 +34,20 @@ from ..quant.device import QTensor
 DEFAULT_BK = 512
 DEFAULT_BN = 1024
 DEFAULT_BM = 512          # m-tile for prefill/large-batch (VMEM-capped)
+
+
+def _pick_bn(n: int, bn: int) -> int:
+    """Largest 128-multiple n-tile that divides n, capped at the requested
+    bn. Exact tiling is required by the kernels' BlockSpecs; preferring the
+    largest legal divisor keeps the weight-stream DMAs long (the 50432-col
+    padded LM head otherwise fell to bn=256 and halved its bandwidth)."""
+    bn = min(bn, n)
+    if n % bn == 0:
+        return bn
+    for cand in range(bn - bn % 128, 127, -128):
+        if n % cand == 0:
+            return cand
+    raise ValueError(f"n={n} is not a multiple of 128")
 
 
 def _m_tiling(m: int) -> tuple[int, int]:
@@ -305,13 +320,7 @@ def qmatmul_pallas(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
     assert qt.k % bk == 0, (qt.k, bk)   # stale tag after reshard?
     nb = bk // 32
     k, n = qt.k, qt.n
-    bn = min(bn, n)
-    if n % bn:
-        # largest 128-multiple tile dividing n (kernel needs exact tiling)
-        for cand in (512, 256, 128):
-            if n % cand == 0:
-                bn = cand
-                break
+    bn = _pick_bn(n, bn)
     assert n % bn == 0, (n, bn)
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -367,12 +376,7 @@ def _qmatmul_rowpair(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
     assert qt.k % bk == 0, (qt.k, bk)   # stale tag after reshard?
     nb = bk // 32
     k, n = qt.k, qt.n
-    bn = min(bn, n)
-    if n % bn:
-        for cand in (512, 256, 128):
-            if n % cand == 0:
-                bn = cand
-                break
+    bn = _pick_bn(n, bn)
     assert n % bn == 0, (n, bn)
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -522,12 +526,7 @@ def _qmatmul_natpair(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
     bk = qt.interleaved_bk
     assert qt.k % bk == 0, (qt.k, bk)   # stale tag after reshard?
     nb = bk // 32
-    bn = min(bn, n)
-    if n % bn:
-        for cand in (512, 256, 128):
-            if n % cand == 0:
-                bn = cand
-                break
+    bn = _pick_bn(n, bn)
     assert n % bn == 0, (n, bn)
     m_pad, bm = _m_tiling(m)
     x2 = _pad_rows(x.reshape(m, k).astype(jnp.bfloat16), m_pad)
@@ -592,8 +591,15 @@ def _qmatmul_natpair(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
 # anyway, which is exactly what the W4A16 full-tile path is good at.
 _W4A8_MAX_M = 1
 _w4a8_enabled = True
-_W4A8_BKK = 2048       # kernel K-tile (spans bkk/32 blocks)
-_W4A8_BN = 2048        # kernel N-tile
+# Kernel tiles: r04 end-to-end sweep on the v5e chip (GGML_TILE_SWEEP via
+# tools/diag_stacked_combo.py 28 512, fused qkvf/of/lm-head GEMVs in the
+# production decode scan): 1024x4096 = 6.369 ms/step vs 6.420 (2048x2048),
+# 6.406 (1024x8192), 6.53 (2048x4096, 4096x2048), 6.77 (512x4096).
+_W4A8_BKK = 1024       # kernel K-tile (spans bkk/32 blocks)
+_W4A8_BN = 4096        # kernel N-tile
+if os.environ.get("GGML_W4A8_TILES"):       # "BKKxBN" — chip-sweep override
+    _W4A8_BKK, _W4A8_BN = (
+        int(v) for v in os.environ["GGML_W4A8_TILES"].split("x"))
 
 
 def set_w4a8_tiles(bkk: int, bn: int):
@@ -675,12 +681,7 @@ def _qmatmul_natpair_w4a8(x: jax.Array, qt: QTensor, *, bn: int,
     while k % bkk:
         bkk //= 2
     nbk = bkk // 32
-    bn = min(_W4A8_BN, n)
-    if n % bn:
-        for cand in (512, 256, 128):
-            if n % cand == 0:
-                bn = cand
-                break
+    bn = _pick_bn(n, _W4A8_BN)
     assert n % bn == 0, (n, bn)
 
     lead = x.shape[:-1]
@@ -824,12 +825,7 @@ def _qmatmul_nat8(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
         while k % bkk:
             bkk //= 2
         nbk = bkk // g
-        bn8 = min(_W4A8_BN, n)
-        if n % bn8:
-            for cand in (512, 256, 128):
-                if n % cand == 0:
-                    bn8 = cand
-                    break
+        bn8 = _pick_bn(n, _W4A8_BN)
         assert n % bn8 == 0, (n, bn8)
         x2 = x.reshape(m, k)
         x8t, dx = _quantize_activations_q8(x2, k, g)
@@ -875,12 +871,7 @@ def _qmatmul_nat8(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
     bk = qt.interleaved_bk
     assert qt.k % bk == 0, (qt.k, bk)   # stale tag after reshard?
     nb = bk // g
-    bn = min(bn, n)
-    if n % bn:
-        for cand in (512, 256, 128):
-            if n % cand == 0:
-                bn = cand
-                break
+    bn = _pick_bn(n, bn)
     assert n % bn == 0, (n, bn)
     m_pad, bm = _m_tiling(m)
     x2 = _pad_rows(x.reshape(m, k).astype(jnp.bfloat16), m_pad)
@@ -995,12 +986,7 @@ def qmatmul_natpair_w4a8_stacked(x: jax.Array, qt: QTensor, li,
     while k % bkk:
         bkk //= 2
     nbk = bkk // 32
-    bn = min(_W4A8_BN, n)
-    if n % bn:
-        for cand in (512, 256, 128):
-            if n % cand == 0:
-                bn = cand
-                break
+    bn = _pick_bn(n, _W4A8_BN)
     assert n % bn == 0, (n, bn)
 
     lead = x.shape[:-1]
@@ -1087,12 +1073,7 @@ def qmatmul_natpair_w4a16_stacked(x: jax.Array, qt: QTensor, li,
     bk = qt.interleaved_bk
     assert qt.k % bk == 0, (qt.k, bk)   # stale tag after reshard?
     nb = bk // 32
-    bn = min(bn, n)
-    if n % bn:
-        for cand in (512, 256, 128):
-            if n % cand == 0:
-                bn = cand
-                break
+    bn = _pick_bn(n, bn)
     assert n % bn == 0, (n, bn)
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -1237,12 +1218,7 @@ def qmatmul_nat8_stacked(x: jax.Array, qt: QTensor, li, *,
         while k % bkk:
             bkk //= 2
         nbk = bkk // g
-        bn8 = min(_W4A8_BN, n)
-        if n % bn8:
-            for cand in (512, 256, 128):
-                if n % cand == 0:
-                    bn8 = cand
-                    break
+        bn8 = _pick_bn(n, _W4A8_BN)
         assert n % bn8 == 0, (n, bn8)
         x2 = x.reshape(m, k)
         x8t, dx = _quantize_activations_q8(x2, k, g)
@@ -1292,12 +1268,7 @@ def qmatmul_nat8_stacked(x: jax.Array, qt: QTensor, li, *,
     bk = qt.interleaved_bk
     assert qt.k % bk == 0, (qt.k, bk)   # stale tag after reshard?
     nb = bk // g
-    bn = min(bn, n)
-    if n % bn:
-        for cand in (512, 256, 128):
-            if n % cand == 0:
-                bn = cand
-                break
+    bn = _pick_bn(n, bn)
     assert n % bn == 0, (n, bn)
     m_pad, bm = _m_tiling(m)
     x2 = _pad_rows(x.reshape(m, k).astype(jnp.bfloat16), m_pad)
@@ -1410,12 +1381,7 @@ def _qmatmul_int8(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
     g = qt.k // groups
     nb = bk // g
     k, n = qt.k, qt.n
-    bn = min(bn, n)
-    if n % bn:
-        for cand in (512, 256, 128):
-            if n % cand == 0:
-                bn = cand
-                break
+    bn = _pick_bn(n, bn)
     assert n % bn == 0, (n, bn)
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"

@@ -158,5 +158,18 @@ def run_variant(name):
         set_variant("full")
 
 
-for v in VARIANTS:
-    run_variant(v)
+# Optional W4A8 tile sweep: GGML_TILE_SWEEP="2048x2048,1024x2048,..." times
+# every variant at each (bkk, bn) kernel tiling. Weights are staged once —
+# the natpair layout is tile-independent, only the BlockSpecs change.
+_sweep = os.environ.get("GGML_TILE_SWEEP", "")
+if _sweep:
+    from ggml_imax_tpu.ops.pallas_qmm import set_w4a8_tiles
+    for tile in _sweep.split(","):
+        bkk, bn = (int(t) for t in tile.split("x"))
+        set_w4a8_tiles(bkk, bn)
+        print(f"--- tiles bkk={bkk} bn={bn}", flush=True)
+        for v in VARIANTS:
+            run_variant(v)
+else:
+    for v in VARIANTS:
+        run_variant(v)
