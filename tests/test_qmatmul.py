@@ -376,3 +376,41 @@ def test_params_repack_scale_dtype_covers_nat8(rng):
     assert r["a"].scale.dtype == jnp.bfloat16
     assert r["a"].bias.dtype == jnp.bfloat16
     assert r["b"].scale.dtype == jnp.bfloat16
+
+
+def test_pick_bn_largest_legal_divisor():
+    """_pick_bn must return the largest 128-multiple divisor of n capped at
+    the requested tile — the r04 fix for the LM-head GEMV falling to tiny
+    n-tiles (50432 = 256*197 has no divisor in {512, 1024, 2048, 4096})."""
+    from ggml_imax_tpu.ops.pallas_qmm import _pick_bn
+    assert _pick_bn(16384, 4096) == 4096          # divides: take the cap
+    assert _pick_bn(512, 4096) == 512             # n smaller than the cap
+    assert _pick_bn(50432, 4096) == 256           # 256*197: best available
+    assert _pick_bn(51200, 4096) == 3200          # beats the old 512 pick
+    assert _pick_bn(51200, 2048) == 2048
+    assert _pick_bn(28672, 8192) == 7168          # 4096*7: old code gave 512
+    assert _pick_bn(32000, 2048) == 1280          # llama vocab: old gave 256
+    assert _pick_bn(200, 4096) == 200             # n <= cap passes through
+    with pytest.raises(ValueError):
+        _pick_bn(4296, 4096)                      # no 128-multiple divisor
+
+
+def test_pad_lm_head_production_vocab_gets_wide_tiles(rng):
+    """pad_lm_head(None) pads production-size vocabs to a 2048 multiple so
+    the fused decode GEMV keeps full-width n-tiles, and leaves small/test
+    vocabs at the cheap 128 pad."""
+    from ggml_imax_tpu.models import gptj
+    from ggml_imax_tpu.ops.pallas_qmm import _pick_bn
+
+    def mk(n_vocab):
+        w = (rng.standard_normal((256, n_vocab)) * 0.1).astype(np.float32)
+        return {"lmh_w": quantize_for_device(w, GGMLType.Q4_0),
+                "lmh_b": np.zeros((n_vocab,), np.float32)}
+
+    big = gptj.pad_lm_head(mk(50400))
+    assert big["lmh_w"].n == 51200                # 25 * 2048
+    assert _pick_bn(big["lmh_w"].n, 4096) >= 2048
+    assert np.asarray(big["lmh_b"])[-1] == -1e30  # pad cols never win argmax
+
+    small = gptj.pad_lm_head(mk(1000))
+    assert small["lmh_w"].n == 1024               # 128 pad only
