@@ -52,6 +52,7 @@ def bench(args):
         batch)."""
         t_start = time.perf_counter()
         ttft, t_add = {}, {}
+        chunk = args.chunk
         plo, phi, npred = (8, 17, 6) if tiny else (64, 128, 32)
         queue = [(4 * i, int(rng.integers(plo, phi)), npred)
                  for i in range(n_req)]
@@ -63,8 +64,20 @@ def bench(args):
                     list(rng.integers(0, cfg.n_vocab - 1, plen)), np_,
                     temp=0.8, top_k=40, top_p=0.95, seed=step_no)
                 t_add[rid] = time.perf_counter()
-            be.step()
-            step_no += 1
+            if chunk > 1:
+                # a chunked iteration advances every decode stream by up to
+                # `chunk` tokens — advance the arrival clock by the same
+                # amount, else arrivals (scheduled in step units) overlap
+                # far less than in the per-token loop and the measured
+                # concurrency collapses
+                live = [r for r in be.requests.values() if not r.done]
+                decode_only = live and all(
+                    r.n_prompt_done >= len(r.prompt) for r in live)
+                be.step_chunk(chunk)
+                step_no += chunk if decode_only else 1
+            else:
+                be.step()
+                step_no += 1
             for rid, t_a in t_add.items():
                 r = be.requests[rid]
                 if rid not in ttft and (r.out or r.next_tok is not None):
@@ -87,6 +100,7 @@ def bench(args):
         "value": round(gen / wall, 2), "unit": "tok/s aggregate",
         "n_requests": n_req, "generated": gen,
         "p50_ttft_ms": round(p50 * 1e3, 1),
+        "chunk": args.chunk,
         "wall_s": round(wall, 2)}))
 
 
@@ -96,6 +110,11 @@ def main():
     ap.add_argument("--bench", action="store_true",
                     help="serving benchmark at GPT-J-6B geometry "
                          "(synthetic weights); prints one JSON line")
+    ap.add_argument("--chunk", type=int, default=8,
+                    help="decode steps per device dispatch once every live "
+                         "request is past its prompt (BatchedEngine"
+                         ".step_chunk) — amortizes the per-step host round "
+                         "trip; 1 = the reference's per-token loop")
     if "--bench" in sys.argv and not {"-m", "--model"} & set(sys.argv):
         sys.argv += ["-m", "synthetic"]            # --bench needs no file
     args = ap.parse_args()

@@ -152,8 +152,16 @@ def params_repack_device(params, bk: int = DEFAULT_BK, scale_dtype=None):
     tensors get the natural-pair layout; per-16 keep plane-split.
     scale_dtype: see repack_natpair_device."""
     def conv(x):
-        if not isinstance(x, QTensor) or x.interleaved_bk != 0:
+        # Pass-through QTensors get a SHALLOW holder copy (same device
+        # buffers): the repacked tree feeds stack_layers, which gut-frees
+        # its input QTensor objects as the stacked buffers fill — aliasing
+        # the caller's objects here would corrupt the caller's params
+        # (observed: a BatchedEngine(stacked=True) sharing f32 leaves with
+        # a later engine left q=None behind).
+        if not isinstance(x, QTensor):
             return x
+        if x.interleaved_bk != 0:
+            return replace(x)
         # natpair/nat8 have no per-tile permutation, so the K-tile tag just
         # has to divide K: shrink per tensor instead of silently skipping
         # (whisper small/medium have K=768/1024 attention weights — a fixed
@@ -162,7 +170,7 @@ def params_repack_device(params, bk: int = DEFAULT_BK, scale_dtype=None):
         while bk_t >= 64 and x.k % bk_t:
             bk_t //= 2
         if x.k % bk_t:
-            return x
+            return replace(x)
         if x.kind == "nib4":
             groups = x.scale.shape[0]
             if groups == x.k // 32 and x.zero in (0, 8):
@@ -170,7 +178,7 @@ def params_repack_device(params, bk: int = DEFAULT_BK, scale_dtype=None):
             return repack_interleaved_device(x, bk_t)
         if x.kind == "int8" and x.k // x.scale.shape[0] in (16, 32):
             return repack_nat8_device(x, bk_t, scale_dtype=scale_dtype)
-        return x
+        return replace(x)
 
     def walk(d):
         if isinstance(d, dict):

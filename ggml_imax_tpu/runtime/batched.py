@@ -165,6 +165,54 @@ class BatchedEngine:
         self._step_sampled = jax.jit(step_sampled, donate_argnums=(3,),
                                      static_argnames=("nb", "ck"))
 
+        def step_sampled_chunk(params, packed, samp, cache, key, nsteps, nb,
+                               ck=False):
+            # nsteps decode steps in ONE dispatch: lax.scan over steps with
+            # per-request on-device sampling. packed: [tok0|pos0|seqs|
+            # cells(nsteps*nb)|cell_pos|cell_seq]. The cell metadata for ALL
+            # nsteps cells is pre-registered — safe because the mask admits
+            # a cell only when cell.pos <= token.pos (main-batched.cpp:931),
+            # so step i cannot see the cells steps >i will write.
+            from ..ops.sampling import sample_device
+            tok = packed[0:nb]
+            pos0 = packed[nb:2 * nb]
+            seqs = packed[2 * nb:3 * nb][None]
+            cells_k = packed[3 * nb:(3 + nsteps) * nb].reshape(nsteps, nb)
+            off = (3 + nsteps) * nb
+            cell_pos = packed[off:off + self.n_ctx][None]
+            cell_seq = packed[off + self.n_ctx:
+                              off + 2 * self.n_ctx].astype(jnp.uint32)[None]
+            temps, kks, pps = samp[0], samp[1], samp[2]
+
+            def body(carry, xs):
+                tok, cache = carry
+                cells_row, i = xs
+                positions = (pos0 + i)[None]
+                mask = cells_attention_mask(positions, seqs, cell_pos,
+                                            cell_seq)
+                kw = {"cells_kernel": ck} if has_ck else {}
+                logits, cache = model_module.forward(
+                    cfg, params, tok[None], positions, cache, 0,
+                    compute_dtype=compute_dtype, cells=cells_row[None],
+                    mask=mask, **kw)
+                lg = logits[0].astype(jnp.float32)
+                greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                drawn = sample_device(
+                    lg, jax.random.fold_in(key, i),
+                    top_k=kks.astype(jnp.int32)[:, None],
+                    top_p=pps[:, None],
+                    temp=jnp.maximum(temps, 1e-6)[:, None],
+                    k_max=self._k_max)
+                nxt = jnp.where(temps <= 0, greedy, drawn)
+                return (nxt, cache), nxt
+
+            (_, cache), toks = jax.lax.scan(
+                body, (tok, cache), (cells_k, jnp.arange(nsteps)))
+            return toks, cache
+        self._step_sampled_chunk = jax.jit(
+            step_sampled_chunk, donate_argnums=(3,),
+            static_argnames=("nsteps", "nb", "ck"))
+
     # -- cell registry ------------------------------------------------------
     def _find_slot(self, n: int) -> int:
         """Head-cursor slot allocator (the reference keeps a head cursor
@@ -284,6 +332,9 @@ class BatchedEngine:
                     r.done = True
                     continue
                 tok = self._sample(r)
+                assert tok is not None, (
+                    "request has neither logits nor next_tok at decode",
+                    r.seq, r.n_prompt_done, len(r.out))
                 r.out.append(tok)
                 if ((r.eos_id is not None and tok == r.eos_id)
                         or len(r.out) >= r.n_predict or r.pos >= self.n_ctx - 1):
@@ -357,6 +408,106 @@ class BatchedEngine:
             lg = np.asarray(logits[0])
             for r, row in sample_rows:
                 r.logits = lg[row]
+        return any(not r.done for r in self.requests.values())
+
+    def step_chunk(self, k: int) -> bool:
+        """Run up to k decode steps in ONE device dispatch (lax.scan over
+        steps, per-request sampling on device), then reconcile EOS/limits
+        on the host. Semantics match k calls to step() for a pure-decode
+        ubatch; falls back to step() whenever any live request is still
+        prefilling (or on-device sampling is off), so callers can use it
+        unconditionally as the serving loop body.
+
+        Why: the reference's serving loop is host-driven per token
+        (main-batched.cpp decode loop) — fine co-located, but each step
+        pays a full host<->device round trip. Chunking amortizes that RTT
+        k ways; tokens a request generates past its own EOS/n_predict
+        inside a chunk are discarded and its cells freed with the seq."""
+        if k <= 1 or not self.on_device_sampling:
+            return self.step()
+        live = [r for r in self.requests.values() if not r.done]
+        if not live:
+            return False
+        if any(r.n_prompt_done < len(r.prompt) or
+               (r.next_tok is None and r.logits is None) for r in live):
+            return self.step()          # mixed/prefill ubatch: single step
+        k = min([k] + [self.n_ctx - 1 - r.pos for r in live])
+        if k <= 1:
+            return self.step()
+
+        rows: list[Request] = []
+        toks0, pos0, seqs, cells_rows = [], [], [], []
+        for r in live:
+            tok = self._sample(r)
+            assert tok is not None, (
+                "request has neither logits nor next_tok at chunk start",
+                r.seq, r.n_prompt_done, len(r.out))
+            r.out.append(tok)
+            if ((r.eos_id is not None and tok == r.eos_id)
+                    or len(r.out) >= r.n_predict
+                    or r.pos >= self.n_ctx - 1):
+                r.done = True
+                self.seq_rm(r.seq)
+                continue
+            cl = []
+            for i in range(k):
+                c = self._find_slot(1)
+                self.cell_pos[c] = r.pos + i
+                self.cell_seq[c] = np.uint32(1 << r.seq)
+                cl.append(c)
+            rows.append(r)
+            toks0.append(tok)
+            pos0.append(r.pos)
+            seqs.append(r.seq)
+            cells_rows.append(cl)
+            r.pos += k
+        if not rows:
+            return any(not r.done for r in self.requests.values())
+
+        n = len(rows)
+        nb = min(_bucket(n), self.n_ctx)
+        pad = nb - n
+        samp = np.zeros((3, nb), np.float32)
+        samp[1] = 40.0
+        samp[2] = 0.9
+        for row, r in enumerate(rows):
+            samp[0, row] = max(0.0, r.temp)
+            samp[1, row] = self._k_max if r.top_k <= 0 \
+                else min(r.top_k, self._k_max)
+            samp[2, row] = r.top_p
+        cells_k = np.full((k, nb), self.trash_cell, np.int32)
+        for row, cl in enumerate(cells_rows):
+            cells_k[:, row] = cl
+        self._step_no += 1
+        key = jax.random.fold_in(self._key, self._step_no)
+        packed = np.concatenate([
+            np.pad(np.asarray(toks0, np.int32), (0, pad)),
+            np.pad(np.asarray(pos0, np.int32), (0, pad)),
+            np.pad(np.asarray(seqs, np.int32), (0, pad),
+                   constant_values=MAX_SEQ - 1),
+            cells_k.reshape(-1),
+            self.cell_pos.astype(np.int32),
+            self.cell_seq.view(np.int32),
+        ])
+        toks_out, self.cache = self._step_sampled_chunk(
+            self.params, jnp.asarray(packed), jnp.asarray(samp),
+            self.cache, key, nsteps=k, nb=nb, ck=self._stacked)
+        ids = np.asarray(toks_out)                       # (k, nb) int32
+        self._step_no += k - 1                           # key-space parity
+        for row, r in enumerate(rows):
+            for i in range(k):
+                tok = int(ids[i, row])
+                if i == k - 1:
+                    r.next_tok = tok     # sampled, not yet fed — the next
+                    break                # step()/step_chunk consumes it
+                r.out.append(tok)
+                if ((r.eos_id is not None and tok == r.eos_id)
+                        or len(r.out) >= r.n_predict
+                        or r.pos >= self.n_ctx - 1):
+                    r.done = True
+                    r.next_tok = None
+                    self.seq_rm(r.seq)   # frees the unused chunk cells too
+                    break
         return any(not r.done for r in self.requests.values())
 
     def _sample(self, r: Request) -> int:

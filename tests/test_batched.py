@@ -399,3 +399,57 @@ def test_find_slot_head_cursor_and_wraparound(tiny):
     be.cell_pos[be.trash_cell] = -1
     with pytest.raises(RuntimeError):
         be._find_slot(1)
+
+
+def test_step_chunk_matches_single_steps(tiny):
+    """step_chunk(k) must produce exactly the tokens k single greedy steps
+    produce: same forward math, same cells semantics — only the host round
+    trips are amortized (chunked serving decode, r04)."""
+    cfg, params = tiny
+    prompts = [[3, 14, 15], [92, 6, 53, 35], [8, 44]]
+
+    ref = BatchedEngine(gpt2, cfg, params, compute_dtype=jnp.float32,
+                        kv_dtype=jnp.float32, on_device_sampling=True)
+    rids_r = [ref.add_request(p, 11, temp=0.0) for p in prompts]
+    while ref.step():
+        pass
+
+    be = BatchedEngine(gpt2, cfg, params, compute_dtype=jnp.float32,
+                       kv_dtype=jnp.float32, on_device_sampling=True)
+    rids_c = [be.add_request(p, 11, temp=0.0) for p in prompts]
+    while be.step_chunk(4):
+        pass
+    for rr, rc in zip(rids_r, rids_c):
+        assert be.requests[rc].out == ref.requests[rr].out, \
+            (be.requests[rc].out, ref.requests[rr].out)
+
+
+def test_step_chunk_eos_and_cell_reuse(tiny):
+    """A request hitting EOS mid-chunk stops there (post-EOS chunk tokens
+    are discarded) and its cells — including the pre-registered unused
+    chunk cells — are freed for later requests."""
+    cfg, params = tiny
+    be = BatchedEngine(gpt2, cfg, params, compute_dtype=jnp.float32,
+                       kv_dtype=jnp.float32, on_device_sampling=True,
+                       n_ctx=64)
+    # find the greedy continuation first so we can plant its 2nd token as
+    # the EOS id (forces EOS mid-chunk)
+    probe = be.add_request([5, 9, 3], 8, temp=0.0)
+    while be.step_chunk(4):
+        pass
+    out = be.requests[probe].out
+    del be.requests[probe]
+
+    eos = out[1]
+    rid = be.add_request([5, 9, 3], 8, temp=0.0, eos_id=eos)
+    while be.step_chunk(4):
+        pass
+    # stops at the FIRST appended eos token (out[0] may already equal it)
+    want = out[:out.index(eos) + 1]
+    assert be.requests[rid].out == want, (be.requests[rid].out, want)
+    assert (be.cell_pos[:-1] == -1).all()          # all cells freed
+    # the pool is reusable afterwards
+    rid2 = be.add_request([7, 2], 6, temp=0.0)
+    while be.step_chunk(4):
+        pass
+    assert len(be.requests[rid2].out) == 6
