@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +51,9 @@ def _pick_bk(t: int, row_bytes: int = 0) -> int:
     or a multiple of 256 halved down to 128 — the shrink loop only runs
     while bk % 256 == 0 so a halving can never produce a non-128-multiple
     (e.g. t=1000 stays 1000; it never becomes 500/250/125)."""
+    env = os.environ.get("GGML_DECODE_BK")
+    if env and t % int(env) == 0:        # chip-sweep override
+        return int(env)
     bk = t
     for cand in (512, 256, 128):
         if t % cand == 0:
