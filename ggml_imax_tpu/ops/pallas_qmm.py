@@ -171,6 +171,14 @@ def params_repack_device(params, bk: int = DEFAULT_BK, scale_dtype=None):
             bk_t //= 2
         if x.k % bk_t:
             return replace(x)
+        g = x.k // x.scale.shape[0] if x.kind == "int8" else 32
+        if (bk_t // g) % 8:
+            # a K-tile spanning <8 scale rows is Mosaic-illegal as the
+            # scale window's second-to-last block dim (e.g. GPT-2-XL's
+            # K=1600 halves to bk=64 -> 2 rows); tag the FULL K instead —
+            # full-dim windows are always legal and these odd-K weights
+            # are small enough to sit in VMEM whole
+            bk_t = x.k
         if x.kind == "nib4":
             groups = x.scale.shape[0]
             if groups == x.k // 32 and x.zero in (0, 8):
@@ -688,6 +696,12 @@ def _qmatmul_natpair_w4a8(x: jax.Array, qt: QTensor, *, bn: int,
     bkk = _W4A8_BKK
     while k % bkk:
         bkk //= 2
+    if (bkk // 32) % 8 and bkk != k:
+        # Mosaic needs the scale window's row count to be a multiple of 8
+        # or the full array dim; odd Ks (e.g. GPT-2-XL's 1600 = 2^6*25)
+        # halve down to tiny tiles, so run the whole K as one always-legal
+        # full-dim window instead
+        bkk = k
     nbk = bkk // 32
     bn = _pick_bn(n, _W4A8_BN)
     assert n % bn == 0, (n, bn)
@@ -832,6 +846,8 @@ def _qmatmul_nat8(x: jax.Array, qt: QTensor, *, bn: int = DEFAULT_BN,
         bkk = _W4A8_BKK
         while k % bkk:
             bkk //= 2
+        if (bkk // g) % 8 and bkk != k:
+            bkk = k          # full-dim window is always Mosaic-legal
         nbk = bkk // g
         bn8 = _pick_bn(n, _W4A8_BN)
         assert n % bn8 == 0, (n, bn8)
@@ -993,6 +1009,12 @@ def qmatmul_natpair_w4a8_stacked(x: jax.Array, qt: QTensor, li,
     bkk = _W4A8_BKK
     while k % bkk:
         bkk //= 2
+    if (bkk // 32) % 8 and bkk != k:
+        # Mosaic needs the scale window's row count to be a multiple of 8
+        # or the full array dim; odd Ks (e.g. GPT-2-XL's 1600 = 2^6*25)
+        # halve down to tiny tiles, so run the whole K as one always-legal
+        # full-dim window instead
+        bkk = k
     nbk = bkk // 32
     bn = _pick_bn(n, _W4A8_BN)
     assert n % bn == 0, (n, bn)
@@ -1225,6 +1247,8 @@ def qmatmul_nat8_stacked(x: jax.Array, qt: QTensor, li, *,
         bkk = _W4A8_BKK
         while k % bkk:
             bkk //= 2
+        if (bkk // g) % 8 and bkk != k:
+            bkk = k          # full-dim window is always Mosaic-legal
         nbk = bkk // g
         bn8 = _pick_bn(n, _W4A8_BN)
         assert n % bn8 == 0, (n, bn8)
