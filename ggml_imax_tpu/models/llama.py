@@ -158,16 +158,30 @@ def fuse_qkv(params):
     return out
 
 
-def fuse_gate_up(params):
+def fuse_gate_up(params, pad_multiple: int | None = None):
     """Concatenate gate/up ((E,F)+(E,F)) into one (E, 2F) GEMV per layer
     (LLaMA's SwiGLU reads the same normed input for both; one weight
-    stream instead of two). Call BEFORE params_repack_device."""
-    from ..quant.device import concat_qtensors
+    stream instead of two). Call BEFORE params_repack_device.
+
+    Production-size F is padded to a 1024 multiple first: LLaMA's 11008
+    (= 128·86, 86 = 2·43) only admits bn=256 n-tiles in the fused decode
+    GEMV — the same small-tile bandwidth penalty the GPT-J LM head had —
+    while 11264 tiles at bn=1024 for +2.3% bytes. Pad columns dequantize
+    to zero and silu(0)·0 = 0, so the forwards just slice the SwiGLU
+    output back to down_w's K before the down projection."""
+    from ..quant.device import concat_qtensors, pad_qtensor_cols
     out = dict(params)
     out["layers"] = []
     for lp in params["layers"]:
         lp = dict(lp)
-        lp["gu_w"] = concat_qtensors([lp.pop("gate_w"), lp.pop("up_w")])
+        g, u = lp.pop("gate_w"), lp.pop("up_w")
+        mult = pad_multiple
+        if mult is None:
+            mult = 1024 if g.kind != "dense" and g.n >= 8192 else 1
+        if mult > 1:
+            g, _ = pad_qtensor_cols(g, mult)
+            u, _ = pad_qtensor_cols(u, mult)
+        lp["gu_w"] = concat_qtensors([g, u])
         out["layers"].append(lp)
     return out
 
@@ -251,7 +265,8 @@ def _forward_stacked(cfg: LlamaConfig, params, tokens, positions, cache,
         x = x + qmatmul_stacked(attn.reshape(B, T, E), qts["o_w"], li)
         cur = rms_norm(x, sm["ffn_norm"], eps=cfg.rms_eps)
         gu = qmatmul_stacked(cur, qts["gu_w"], li)
-        ff = silu(gu[..., :F]) * gu[..., F:]
+        # slice off fuse_gate_up's pad lanes (zeros) before the down proj
+        ff = (silu(gu[..., :F]) * gu[..., F:])[..., :qts["down_w"].k]
         x = x + qmatmul_stacked(ff, qts["down_w"], li)
         return (x, cache2), None
 

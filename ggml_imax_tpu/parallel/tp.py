@@ -322,6 +322,11 @@ def shard_params_tp_llama(params: dict, mesh: Mesh, cfg, axis: str = "tp"):
     assert "qkv_w" in st and "gu_w" in st, \
         "llama TP expects fuse_qkv + fuse_gate_up + stack_model"
     F = st["gu_w"].n // 2
+    assert F == st["down_w"].k, \
+        ("TP shards gate/up and down complementarily; re-fuse with "
+         "fuse_gate_up(params, pad_multiple=1) — the single-chip decode "
+         "pad is incompatible with component-wise sharding", F,
+         st["down_w"].k)
     assert E % (tp * 128) == 0 and KV % (tp * D) == 0 and F % (tp * 128) == 0
 
     def put(x, *spec):
