@@ -67,10 +67,16 @@ def main():
         # Pad the LM head's vocab dim to a 128 tile so it takes the fused
         # path too; padded logits get -1e30 bias so argmax never picks them.
         from ggml_imax_tpu.ops.pallas_qmm import params_repack_device
-        sdt = {"bf16": jnp.bfloat16}.get(
-            os.environ.get("GGML_W4A8_SCALE_DTYPE", ""), None)
+        # Per-32 f32 scales are ~20% of the decode weight stream; bf16
+        # storage halves that (~10% less traffic). f16 would be EXACT vs
+        # ggml's f16 wire scales but Mosaic has no f16 ("Unsupported type
+        # in mosaic dialect: 'f16'", measured r05); bf16 rounds the scale
+        # by <=2^-9 relative — negligible next to Q4_0's own ~3% weight
+        # rounding (KL row re-measured in docs/QUALITY.md).
+        sdt = {"bf16": jnp.bfloat16, "f32": None}.get(
+            os.environ.get("GGML_W4A8_SCALE_DTYPE", "bf16"), jnp.bfloat16)
         if sdt is not None:
-            print("# scales stored bf16", file=sys.stderr)
+            print(f"# scales stored {jnp.dtype(sdt).name}", file=sys.stderr)
         if stacked:
             os.environ.setdefault("GGML_FUSE_FF", "1")
         params = gptj.fuse_qkv(params)     # 1 GEMV for q/k/v (+fc_in) per layer

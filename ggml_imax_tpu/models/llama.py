@@ -166,22 +166,30 @@ def fuse_gate_up(params, pad_multiple: int | None = None):
     Production-size F is padded to a 1024 multiple first: LLaMA's 11008
     (= 128·86, 86 = 2·43) only admits bn=256 n-tiles in the fused decode
     GEMV — the same small-tile bandwidth penalty the GPT-J LM head had —
-    while 11264 tiles at bn=1024 for +2.3% bytes. Pad columns dequantize
-    to zero and silu(0)·0 = 0, so the forwards just slice the SwiGLU
-    output back to down_w's K before the down projection."""
-    from ..quant.device import concat_qtensors, pad_qtensor_cols
+    while 11264 tiles at bn=1024+ for +2.3% bytes. The down projection's
+    CONTRACTION dim is padded to match (zero scale rows): K=11008 also
+    caps the W4A8 K-tile at 256 (= 2^7·86; 11264 = 2^10·11 restores
+    1024-row tiles — the analog of CUDA's get_row_rounding,
+    /root/reference/src/ggml-cuda.cu:580). Pad gate/up columns dequantize
+    to zero and silu(0)·0 = 0, so the padded SwiGLU lanes are exactly 0
+    and feed the down-proj's zero rows directly — no slice, no extra
+    bytes read beyond the +2.3%."""
+    from ..quant.device import (concat_qtensors, pad_qtensor_cols,
+                                pad_qtensor_rows)
     out = dict(params)
     out["layers"] = []
     for lp in params["layers"]:
         lp = dict(lp)
-        g, u = lp.pop("gate_w"), lp.pop("up_w")
+        g, u, d = lp.pop("gate_w"), lp.pop("up_w"), lp.pop("down_w")
         mult = pad_multiple
         if mult is None:
             mult = 1024 if g.kind != "dense" and g.n >= 8192 else 1
         if mult > 1:
             g, _ = pad_qtensor_cols(g, mult)
             u, _ = pad_qtensor_cols(u, mult)
+            d, _ = pad_qtensor_rows(d, mult)
         lp["gu_w"] = concat_qtensors([g, u])
+        lp["down_w"] = d
         out["layers"].append(lp)
     return out
 

@@ -374,6 +374,48 @@ def pad_qtensor_cols(qt: QTensor, multiple: int = 128) -> tuple[QTensor, int]:
                     qt.ggml_type, qt.zero, 0, qt.q4_layout, qt.name), npad)
 
 
+def pad_qtensor_rows(qt: QTensor, multiple: int = 1024) -> tuple[QTensor, int]:
+    """Zero-pad a natural-layout QTensor's contraction (K) dim up to a
+    multiple, in whole 32-element quant blocks.
+
+    The W4A8 decode GEMV picks its K-tile as the largest power-of-two
+    divisor of K (ops/pallas_qmm qmatmul_natpair_w4a8_stacked): LLaMA's
+    down-proj K=11008 (= 2^7·86) caps the tile at 256 and measurably
+    halves the weight-stream bandwidth (docs/ROUND4_NOTES.md lead 2 — the
+    analog of CUDA's row rounding to tile granularity,
+    /root/reference/src/ggml-cuda.cu:580). Padding to 11264 = 2^10·11
+    restores 1024-row tiles for +2.3% bytes. Padded rows carry scale 0 so
+    they decode to exactly 0.0 whatever the activations; callers that pad
+    K must feed activations widened to the padded K (LLaMA's SwiGLU pad
+    lanes are already exactly 0: zero-padded gate/up columns give
+    silu(0)*0 = 0). Call BEFORE params_repack_device. Returns
+    (padded_qt, k_pad)."""
+    import jax.numpy as jnp
+    assert qt.interleaved_bk == 0 and qt.n_stack == 0, \
+        "pad before repacking/stacking"
+    assert multiple % 32 == 0, "K pads in whole 32-element quant blocks"
+    kpad = (-qt.k) % multiple
+    if kpad == 0:
+        return qt, 0
+    pad = (jnp.pad if hasattr(qt.q, "devices") else np.pad)
+    if qt.kind == "nib4":
+        q = pad(qt.q, ((0, kpad // 2), (0, 0)))
+    elif qt.kind == "int8":
+        q = pad(qt.q, ((0, kpad), (0, 0)))
+    else:
+        q = pad(qt.q, ((0, kpad), (0, 0)))
+        return (QTensor(qt.kind, q, None, None, qt.k + kpad, qt.n,
+                        qt.ggml_type, qt.zero, 0, qt.q4_layout, qt.name),
+                kpad)
+    group = qt.k // qt.scale.shape[0]
+    assert kpad % group == 0, (kpad, group)
+    scale = pad(qt.scale, ((0, kpad // group), (0, 0)))
+    bias = None if qt.bias is None else pad(qt.bias, ((0, kpad // group),
+                                                      (0, 0)))
+    return (QTensor(qt.kind, q, scale, bias, qt.k + kpad, qt.n,
+                    qt.ggml_type, qt.zero, 0, qt.q4_layout, qt.name), kpad)
+
+
 def stack_layers(layers: list[dict]) -> dict:
     """Stack per-layer parameter dicts into one dict of stacked leaves:
     QTensor children gain a leading n_layer dim (n_stack tag), plain arrays

@@ -226,6 +226,68 @@ def test_llama_stacked_matches_unstacked(kv):
     assert got == ref, (got, ref)
 
 
+def test_llama_stacked_padded_ff_matches_unstacked():
+    """fuse_gate_up's tile padding (gate/up N AND down-proj K zero-padded
+    to the tile multiple — the get_row_rounding analog,
+    /root/reference/src/ggml-cuda.cu:580) must not change any token: the
+    pad SwiGLU lanes are exactly silu(0)*0 = 0 into zero down-proj rows.
+    F=160 with pad_multiple=256 forces a real 96-lane pad."""
+    import importlib
+    from ggml_imax_tpu.models import llama
+    from ggml_imax_tpu.ops.pallas_qmm import params_repack_device
+    from ggml_imax_tpu.quant.device import quantize_for_device
+    qmm = importlib.import_module("ggml_imax_tpu.ops.qmatmul")
+
+    cfg = llama.LlamaConfig(n_vocab=512, n_ctx=64, n_embd=256, n_head=2,
+                            n_head_kv=1, n_layer=2, n_ff=160)
+    rng = np.random.default_rng(13)
+
+    def q(shape):
+        w = (rng.standard_normal(shape) * 0.05).astype(np.float32)
+        return quantize_for_device(w, GGMLType.Q4_0)
+
+    def vec(n):
+        return jnp.asarray((rng.standard_normal(n) * 0.05).astype(np.float32))
+
+    E, F, KV = cfg.n_embd, cfg.n_ff, cfg.n_head_kv * cfg.head_dim
+    params = {"tok_embd": q((E, cfg.n_vocab)), "out_norm": vec(E) + 1.0,
+              "output": None, "layers": []}
+    for _ in range(cfg.n_layer):
+        params["layers"].append({
+            "attn_norm": vec(E) + 1.0,
+            "q_w": q((E, E)), "k_w": q((E, KV)), "v_w": q((E, KV)),
+            "o_w": q((E, E)), "ffn_norm": vec(E) + 1.0,
+            "gate_w": q((E, F)), "up_w": q((E, F)), "down_w": q((F, E)),
+        })
+
+    def greedy(p, cache, n=5, prompt=(3, 5, 7)):
+        toks = jnp.asarray(np.array(prompt, np.int32)[None])
+        pos = jnp.asarray(np.arange(len(prompt), dtype=np.int32)[None])
+        logits, cache = llama.forward(cfg, p, toks, pos, cache, 0)
+        out = []
+        tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+        for i in range(n):
+            out.append(int(tok[0, 0]))
+            pp = jnp.full((1, 1), len(prompt) + i, jnp.int32)
+            logits, cache = llama.forward(cfg, p, tok, pp, cache,
+                                          len(prompt) + i)
+            tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+        return out
+
+    ref = greedy(params, llama.init_cache(cfg, 1, 64, dtype=jnp.bfloat16))
+    fused = llama.fuse_gate_up(llama.fuse_qkv(params), pad_multiple=256)
+    assert fused["layers"][0]["gu_w"].n == 2 * 256
+    assert fused["layers"][0]["down_w"].k == 256
+    stacked = llama.stack_model(params_repack_device(fused))
+    qmm.set_force_fused(True)
+    try:
+        got = greedy(stacked, llama.init_cache(cfg, 1, 64,
+                                               dtype=jnp.bfloat16, flat=True))
+    finally:
+        qmm.set_force_fused(False)
+    assert got == ref, (got, ref)
+
+
 @pytest.mark.parametrize("wt", ["q8_0", "q4_0"])
 def test_gpt2_stacked_matches_unstacked(wt):
     """GPT-2 stacked decode (48-layer 1558M is the warmup-critical config)
