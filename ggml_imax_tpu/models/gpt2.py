@@ -224,7 +224,8 @@ def _forward_stacked(cfg: GPT2Config, params, tokens, positions, cache,
         return (x, cache2), None
 
     lis = jnp.arange(cfg.n_layer, dtype=jnp.int32)
-    (x, cache), _ = jax.lax.scan(body, (x, cache), (lis, small))
+    from .common import scan_layers
+    (x, cache), _ = scan_layers(body, (x, cache), lis, small)
     x = layer_norm(x, params["ln_f_g"], params["ln_f_b"])
     head = params["lm_head"] if params.get("lm_head") is not None \
         else params["wte"]

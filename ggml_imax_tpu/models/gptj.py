@@ -385,7 +385,8 @@ def _forward_stacked(cfg: GPTJConfig, params, tokens, positions, cache,
         return (x, cache2), None
 
     lis = jnp.arange(cfg.n_layer, dtype=jnp.int32)
-    (x, cache), _ = jax.lax.scan(body, (x, cache), (lis, small))
+    from .common import scan_layers
+    (x, cache), _ = scan_layers(body, (x, cache), lis, small)
     x = layer_norm(x, params["ln_f_g"], params["ln_f_b"])
     logits = qmatmul(x, params["lmh_w"], compute_dtype=compute_dtype,
                      out_dtype=jnp.float32,

@@ -279,7 +279,8 @@ def _forward_stacked(cfg: LlamaConfig, params, tokens, positions, cache,
         return (x, cache2), None
 
     lis = jnp.arange(cfg.n_layer, dtype=jnp.int32)
-    (x, cache), _ = jax.lax.scan(body, (x, cache), (lis, small))
+    from .common import scan_layers
+    (x, cache), _ = scan_layers(body, (x, cache), lis, small)
     x = rms_norm(x, params["out_norm"], eps=cfg.rms_eps)
     head = params["output"] if params.get("output") is not None \
         else params["tok_embd"]

@@ -536,9 +536,10 @@ def _decode_stacked(cfg: WhisperConfig, params, tokens, positions, cache,
         x = x + qmatmul_stacked(ff, qts["mlp1_w"], li) + sm["mlp1_b"]
         return (x, cache2), None
 
-    import jax
+    import jax  # noqa: F401  (body traces under jax)
     lis = jnp.arange(cfg.n_text_layer, dtype=jnp.int32)
-    (x, cache), _ = jax.lax.scan(body, (x, cache), (lis, small))
+    from .common import scan_layers
+    (x, cache), _ = scan_layers(body, (x, cache), lis, small)
     x = layer_norm(x, params["d_ln_g"], params["d_ln_b"])
     logits = _mm(x, params["d_te"], compute_dtype, precision)   # tied head
     if params["d_te"].n > cfg.n_vocab:            # padded head columns

@@ -79,12 +79,30 @@ def _dev_interleave(segments: list[tuple[int, int]], tp: int) -> np.ndarray:
     return np.concatenate(out)
 
 
-def shard_params_tp(params: dict, mesh: Mesh, cfg, axis: str = "tp"):
+def make_callback_put(mesh: Mesh):
+    """A `put` for shard_params_tp/init_cache_tp that materializes each
+    global array via jax.make_array_from_callback — every process supplies
+    ONLY its addressable shards (the multi-host GGUF loading pattern,
+    SURVEY.md §7 step 2: each host reads its slice of the weight file).
+    Required when the mesh spans processes; equivalent to device_put on a
+    single-process mesh."""
+    def put(x, *spec):
+        s = NamedSharding(mesh, P(*spec))
+        h = np.asarray(x)
+        return jax.make_array_from_callback(h.shape, s, lambda idx: h[idx])
+    return put
+
+
+def shard_params_tp(params: dict, mesh: Mesh, cfg, axis: str = "tp",
+                    put=None):
     """Place fully-fused stacked GPT-J params (stack_model output with
     qkvf_w + of_w) on the mesh for shard_map TP. Returns a params pytree
     whose QTensor aux (k/n) is LOCAL so the same objects are consistent
     inside the shard_map body, with globally-sharded arrays, plus the
-    matching in_specs pytree."""
+    matching in_specs pytree.
+
+    put(x, *spec) overrides array placement (default: device_put on the
+    mesh; pass make_callback_put(mesh) on a process-spanning mesh)."""
     tp = mesh.shape[axis]
     E, H, D = cfg.n_embd, cfg.n_head, cfg.head_dim
     F = 4 * E
@@ -255,7 +273,8 @@ def forward_tp(cfg, params, tokens, positions, cache: KVCache, n_past,
             return (x, cache2), None
 
         lis = jnp.arange(cfg.n_layer, dtype=jnp.int32)
-        (x, cache), _ = jax.lax.scan(layer, (x, cache), (lis, small))
+        from ..models.common import scan_layers
+        (x, cache), _ = scan_layers(layer, (x, cache), lis, small)
         x = layer_norm(x, params["ln_f_g"], params["ln_f_b"])
         logits = qmatmul(x, params["lmh_w"], out_dtype=jnp.float32) \
             + params["lmh_b"]
@@ -463,7 +482,8 @@ def forward_tp_llama(cfg, params, tokens, positions, cache: KVCache, n_past,
             return (x, cache2), None
 
         lis = jnp.arange(cfg.n_layer, dtype=jnp.int32)
-        (x, cache), _ = jax.lax.scan(layer, (x, cache), (lis, small))
+        from ..models.common import scan_layers
+        (x, cache), _ = scan_layers(layer, (x, cache), lis, small)
         x = rms_norm(x, params["out_norm"], eps=cfg.rms_eps)
         head = params["output"] if params.get("output") is not None \
             else params["tok_embd"]
