@@ -117,8 +117,9 @@ def shard_params_tp(params: dict, mesh: Mesh, cfg, axis: str = "tp",
     assert E % (tp * 128) == 0, \
         f"E/tp = {E}/{tp} breaks the n%128 fused-kernel gate"
 
-    def put(x, *spec):
-        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+    if put is None:
+        def put(x, *spec):
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
     def put_qt(qt, *spec):
         return replace(
@@ -185,20 +186,26 @@ def shard_params_tp(params: dict, mesh: Mesh, cfg, axis: str = "tp",
 
 
 def init_cache_tp(cfg, mesh: Mesh, batch: int = 1, n_ctx: int | None = None,
-                  dtype=jnp.bfloat16, axis: str = "tp") -> KVCache:
+                  dtype=jnp.bfloat16, axis: str = "tp",
+                  put=None) -> KVCache:
     """Flat KV arena sharded over heads: global (L, B, T, H*D) with the last
     dim split over tp (head boundaries are D-multiples, so a tp split at
     (H/tp)*D is head-aligned). `heads` metadata is LOCAL so the shard_map
-    body's attention sees a consistent local cache."""
+    body's attention sees a consistent local cache. put: see
+    shard_params_tp (make_callback_put on process-spanning meshes)."""
     tp = mesh.shape[axis]
     H = getattr(cfg, "n_head_kv", cfg.n_head)     # GQA: cache KV heads
     assert H % tp == 0, (H, tp)
     cache = init_kv_cache(cfg.n_layer, batch, n_ctx or cfg.n_ctx, H,
                           cfg.head_dim, dtype, flat=True)
     spec = P(None, None, None, axis)
-    put = lambda x: None if x is None else \
-        jax.device_put(x, NamedSharding(mesh, spec))
-    return KVCache(put(cache.k), put(cache.v), put(cache.ks), put(cache.vs),
+    if put is None:
+        pp = lambda x: None if x is None else \
+            jax.device_put(x, NamedSharding(mesh, spec))
+    else:
+        pp = lambda x: None if x is None else \
+            put(x, None, None, None, axis)
+    return KVCache(pp(cache.k), pp(cache.v), pp(cache.ks), pp(cache.vs),
                    heads=H // tp)
 
 
@@ -326,7 +333,8 @@ def collective_volume_model(cfg, tp: int, *, batch: int = 1,
 # ---- LLaMA-family TP (GQA, sequential attn->mlp residuals) ----
 
 
-def shard_params_tp_llama(params: dict, mesh: Mesh, cfg, axis: str = "tp"):
+def shard_params_tp_llama(params: dict, mesh: Mesh, cfg, axis: str = "tp",
+                          put=None):
     """TP placement for the fully-fused stacked LLaMA layout (fuse_qkv +
     fuse_gate_up + stack_model): qkv/gu column-sharded component-wise,
     o/down row-sharded (plain contiguous shards — single-segment rows need
@@ -348,8 +356,9 @@ def shard_params_tp_llama(params: dict, mesh: Mesh, cfg, axis: str = "tp"):
          st["down_w"].k)
     assert E % (tp * 128) == 0 and KV % (tp * D) == 0 and F % (tp * 128) == 0
 
-    def put(x, *spec):
-        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+    if put is None:
+        def put(x, *spec):
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
     def put_qt(qt, *spec):
         return replace(

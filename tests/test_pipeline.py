@@ -110,3 +110,47 @@ def test_distributed_two_process_psum():
         assert f"PSUM_OK {pid}" in out, out
         # row sums of arange(32).reshape(4, 8): col j -> 48 + 4j
         assert "[48.0, 52.0, 56.0]" in out, out
+
+
+def test_distributed_two_process_tp_decode():
+    """The FULL tp=4 GPT-J decode path across a process boundary: 2 OS
+    processes x 2 CPU devices, fused stacked params loaded shard-wise via
+    make_array_from_callback, shard_map forward (one psum/layer + lm-head
+    all-gather), prefill + 2 decode steps — logits must equal the
+    single-process fused run. This walks the path the multi-host claim
+    rests on end-to-end, not just a bare psum (the RPC graph_compute
+    round-trip analog, ggml-rpc.cpp:875)."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)          # worker sets its own device count
+    worker = os.path.join(os.path.dirname(__file__), "_dist_tp_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=os.path.dirname(os.path.dirname(worker)))
+        for pid in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    argmaxes = set()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"TP_DECODE_OK {pid}" in out, out
+        for line in out.splitlines():
+            if line.startswith("TP_DECODE_OK"):
+                argmaxes.add(line.split("argmax=")[1])
+    assert len(argmaxes) == 1, argmaxes   # both processes agree
