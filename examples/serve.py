@@ -46,25 +46,43 @@ def bench(args):
     rng = np.random.default_rng(0)
 
     def workload(be):
-        """n_req staggered requests: 64-128-token prompts, 32 new tokens
-        each. Arrivals every 4 engine steps so prefill chunks and decode
-        rows mix in the same ubatches (continuous batching, not a static
-        batch)."""
+        """n_req staggered requests: 64-128-token prompts, `npred` new
+        tokens each. Arrivals every 4 engine steps so prefill chunks and
+        decode rows mix in the same ubatches (continuous batching, not a
+        static batch). In --steady mode, once every request is past its
+        prompt the loop hands off to run_pipelined (double-buffered
+        chunks) and the post-ramp phase is timed separately."""
         t_start = time.perf_counter()
         ttft, t_add = {}, {}
         chunk = args.chunk
         plo, phi, npred = (8, 17, 6) if tiny else (64, 128, 32)
+        if args.steady:
+            npred = 6 if tiny else args.n_predict
         queue = [(4 * i, int(rng.integers(plo, phi)), npred)
                  for i in range(n_req)]
         step_no = 0
+        t_steady = gen_ramp = None
         while queue or any(not be.requests[rid].done for rid in t_add):
+            if args.steady and not queue and all(
+                    r.done or r.n_prompt_done >= len(r.prompt)
+                    for r in be.requests.values()):
+                # every arrival is prefilled: note TTFTs, then drain the
+                # whole decode tail through the double-buffered pipeline
+                for rid, t_a in t_add.items():
+                    r = be.requests[rid]
+                    if rid not in ttft and (r.out or r.next_tok is not None):
+                        ttft[rid] = time.perf_counter() - t_a
+                gen_ramp = sum(len(be.requests[rid].out) for rid in t_add)
+                t_steady = time.perf_counter()
+                be.run_pipelined(chunk)
+                break
             while queue and queue[0][0] <= step_no:
                 _, plen, np_ = queue.pop(0)
                 rid = be.add_request(
                     list(rng.integers(0, cfg.n_vocab - 1, plen)), np_,
                     temp=0.8, top_k=40, top_p=0.95, seed=step_no)
                 t_add[rid] = time.perf_counter()
-            if chunk > 1:
+            if chunk > 1 and not args.steady:
                 # a chunked iteration advances every decode stream by up to
                 # `chunk` tokens — advance the arrival clock by the same
                 # amount, else arrivals (scheduled in step units) overlap
@@ -84,7 +102,10 @@ def bench(args):
                     ttft[rid] = time.perf_counter() - t_a
         wall = time.perf_counter() - t_start
         gen = sum(len(be.requests[rid].out) for rid in t_add)
-        return gen, wall, sorted(ttft.values())
+        steady = None
+        if t_steady is not None:
+            steady = (gen - gen_ramp, time.perf_counter() - t_steady)
+        return gen, wall, sorted(ttft.values()), steady
 
     be = BatchedEngine(gptj, cfg, params, n_ctx=n_ctx, kv_dtype="q8_0",
                        on_device_sampling=True, seed=1, stacked=True)
@@ -93,15 +114,21 @@ def bench(args):
     print(f"# warmup (compile) {time.time()-t0:.0f}s", file=sys.stderr)
     for rid in list(be.requests):
         del be.requests[rid]
-    gen, wall, ttfts = workload(be)
+    gen, wall, ttfts, steady = workload(be)
     p50 = ttfts[len(ttfts) // 2] if ttfts else float("nan")
-    print(json.dumps({
+    out = {
         "metric": "serve_gptj6b_q4_0_tok_s",
         "value": round(gen / wall, 2), "unit": "tok/s aggregate",
         "n_requests": n_req, "generated": gen,
         "p50_ttft_ms": round(p50 * 1e3, 1),
         "chunk": args.chunk,
-        "wall_s": round(wall, 2)}))
+        "wall_s": round(wall, 2)}
+    if steady is not None:
+        sg, sw = steady
+        out["steady_tok_s"] = round(sg / sw, 2)     # post-ramp, pipelined
+        out["steady_generated"] = sg
+        out["n_predict"] = args.n_predict
+    print(json.dumps(out))
 
 
 def main():
@@ -115,6 +142,12 @@ def main():
                          "request is past its prompt (BatchedEngine"
                          ".step_chunk) — amortizes the per-step host round "
                          "trip; 1 = the reference's per-token loop")
+    ap.add_argument("--steady", action="store_true",
+                    help="steady-state serving bench: decode --n_predict "
+                         "tokens per request and, once every arrival is "
+                         "prefilled, drain the decode tail through the "
+                         "double-buffered pipeline (run_pipelined); "
+                         "reports steady_tok_s separately from the ramp")
     if "--bench" in sys.argv and not {"-m", "--model"} & set(sys.argv):
         sys.argv += ["-m", "synthetic"]            # --bench needs no file
     args = ap.parse_args()

@@ -165,23 +165,14 @@ class BatchedEngine:
         self._step_sampled = jax.jit(step_sampled, donate_argnums=(3,),
                                      static_argnames=("nb", "ck"))
 
-        def step_sampled_chunk(params, packed, samp, cache, key, nsteps, nb,
-                               ck=False):
+        def chunk_scan(params, tok, pos0, seqs, cells_k, cell_pos, cell_seq,
+                       samp, cache, key, nsteps, ck):
             # nsteps decode steps in ONE dispatch: lax.scan over steps with
-            # per-request on-device sampling. packed: [tok0|pos0|seqs|
-            # cells(nsteps*nb)|cell_pos|cell_seq]. The cell metadata for ALL
+            # per-request on-device sampling. The cell metadata for ALL
             # nsteps cells is pre-registered — safe because the mask admits
             # a cell only when cell.pos <= token.pos (main-batched.cpp:931),
             # so step i cannot see the cells steps >i will write.
             from ..ops.sampling import sample_device
-            tok = packed[0:nb]
-            pos0 = packed[nb:2 * nb]
-            seqs = packed[2 * nb:3 * nb][None]
-            cells_k = packed[3 * nb:(3 + nsteps) * nb].reshape(nsteps, nb)
-            off = (3 + nsteps) * nb
-            cell_pos = packed[off:off + self.n_ctx][None]
-            cell_seq = packed[off + self.n_ctx:
-                              off + 2 * self.n_ctx].astype(jnp.uint32)[None]
             temps, kks, pps = samp[0], samp[1], samp[2]
 
             def body(carry, xs):
@@ -209,8 +200,44 @@ class BatchedEngine:
             (_, cache), toks = jax.lax.scan(
                 body, (tok, cache), (cells_k, jnp.arange(nsteps)))
             return toks, cache
+
+        def step_sampled_chunk(params, packed, samp, cache, key, nsteps, nb,
+                               ck=False):
+            # packed: ONE int32 upload [tok0|pos0|seqs|cells(nsteps*nb)|
+            # cell_pos|cell_seq] — a single host->device transfer per chunk
+            tok = packed[0:nb]
+            pos0 = packed[nb:2 * nb]
+            seqs = packed[2 * nb:3 * nb][None]
+            cells_k = packed[3 * nb:(3 + nsteps) * nb].reshape(nsteps, nb)
+            off = (3 + nsteps) * nb
+            cell_pos = packed[off:off + self.n_ctx][None]
+            cell_seq = packed[off + self.n_ctx:
+                              off + 2 * self.n_ctx].astype(jnp.uint32)[None]
+            return chunk_scan(params, tok, pos0, seqs, cells_k, cell_pos,
+                              cell_seq, samp, cache, key, nsteps, ck)
         self._step_sampled_chunk = jax.jit(
             step_sampled_chunk, donate_argnums=(3,),
+            static_argnames=("nsteps", "nb", "ck"))
+
+        def step_sampled_chunk_carry(params, packed, tok, samp, cache, key,
+                                     nsteps, nb, ck=False):
+            # the double-buffered variant: tok is a DEVICE-resident carry
+            # (the previous chunk's last sampled row, toks_out[-1]) so the
+            # next chunk dispatches without any host fetch of the previous
+            # chunk's tokens — the fetch then overlaps this chunk's device
+            # execution (run_pipelined). packed: [pos0|seqs|cells(nsteps*nb)|
+            # cell_pos|cell_seq].
+            pos0 = packed[0:nb]
+            seqs = packed[nb:2 * nb][None]
+            cells_k = packed[2 * nb:(2 + nsteps) * nb].reshape(nsteps, nb)
+            off = (2 + nsteps) * nb
+            cell_pos = packed[off:off + self.n_ctx][None]
+            cell_seq = packed[off + self.n_ctx:
+                              off + 2 * self.n_ctx].astype(jnp.uint32)[None]
+            return chunk_scan(params, tok, pos0, seqs, cells_k, cell_pos,
+                              cell_seq, samp, cache, key, nsteps, ck)
+        self._step_sampled_chunk_carry = jax.jit(
+            step_sampled_chunk_carry, donate_argnums=(4,),
             static_argnames=("nsteps", "nb", "ck"))
 
     # -- cell registry ------------------------------------------------------
@@ -509,6 +536,138 @@ class BatchedEngine:
                     self.seq_rm(r.seq)   # frees the unused chunk cells too
                     break
         return any(not r.done for r in self.requests.values())
+
+    # -- double-buffered decode ----------------------------------------------
+    def _dispatch_chunk(self, rows, tok, k: int):
+        """Dispatch one k-step decode chunk for `rows` and return the
+        (k, nb) device token array WITHOUT fetching it. `tok` is either a
+        host list of first tokens (pipeline head) or a device (nb,) carry
+        — the previous chunk's last sampled row — in which case NO token
+        data crosses the host boundary at all. Registers the k cells per
+        row and advances r.pos."""
+        n = len(rows)
+        nb = min(_bucket(n), self.n_ctx)
+        pad = nb - n
+        samp = np.zeros((3, nb), np.float32)
+        samp[1] = 40.0
+        samp[2] = 0.9
+        for row, r in enumerate(rows):
+            samp[0, row] = max(0.0, r.temp)
+            samp[1, row] = self._k_max if r.top_k <= 0 \
+                else min(r.top_k, self._k_max)
+            samp[2, row] = r.top_p
+        pos0 = [r.pos for r in rows]
+        seqs = [r.seq for r in rows]
+        cells_k = np.full((k, nb), self.trash_cell, np.int32)
+        for row, r in enumerate(rows):
+            for i in range(k):
+                c = self._find_slot(1)
+                self.cell_pos[c] = r.pos + i
+                self.cell_seq[c] = np.uint32(1 << r.seq)
+                cells_k[i, row] = c
+            r.pos += k
+        packed = np.concatenate([
+            np.pad(np.asarray(pos0, np.int32), (0, pad)),
+            np.pad(np.asarray(seqs, np.int32), (0, pad),
+                   constant_values=MAX_SEQ - 1),
+            cells_k.reshape(-1),
+            self.cell_pos.astype(np.int32),
+            self.cell_seq.view(np.int32),
+        ])
+        self._step_no += k
+        key = jax.random.fold_in(self._key, self._step_no)
+        if isinstance(tok, list):
+            tok = jnp.asarray(np.pad(np.asarray(tok, np.int32), (0, pad)))
+        toks_out, self.cache = self._step_sampled_chunk_carry(
+            self.params, jnp.asarray(packed), tok, jnp.asarray(samp),
+            self.cache, key, nsteps=k, nb=nb, ck=self._stacked)
+        return toks_out
+
+    def run_pipelined(self, k: int) -> dict[int, list]:
+        """Drive every request to completion with DOUBLE-BUFFERED k-step
+        chunks: chunk j+1 is dispatched from chunk j's device-resident
+        token carry BEFORE chunk j's tokens are fetched, so the host
+        fetch (a full tunnel round trip) and the EOS/limit bookkeeping
+        overlap chunk j+1's device execution. step_chunk amortizes the
+        round trip k ways; this removes it from the critical path
+        entirely while all rows stay live (VERDICT r04 item 3b).
+
+        Semantics match the step()/step_chunk loop for greedy sampling
+        (temp<=0); stochastic rows draw from a different (still
+        per-dispatch-unique) key schedule. A row that hits EOS while a
+        successor chunk is in flight has the successor's tokens for it
+        discarded — the same contract as step_chunk's past-EOS discard,
+        extended one chunk. Falls back to step() for prefill/mixed
+        ubatches, so callers can use it as the whole serving loop."""
+        assert self.on_device_sampling, "run_pipelined needs device sampling"
+        while any(not r.done for r in self.requests.values()):
+            live = [r for r in self.requests.values() if not r.done]
+            if any(r.n_prompt_done < len(r.prompt)
+                   or (r.next_tok is None and r.logits is None)
+                   for r in live):
+                self.step()
+                continue
+            kk = min([k] + [self.n_ctx - 1 - r.pos for r in live])
+            if kk <= 1:
+                self.step()
+                continue
+            # pipeline head: consume each pending token on the host
+            # (identical to step_chunk's chunk start)
+            rows, toks0 = [], []
+            for r in live:
+                tok = self._sample(r)
+                r.out.append(tok)
+                if ((r.eos_id is not None and tok == r.eos_id)
+                        or len(r.out) >= r.n_predict
+                        or r.pos >= self.n_ctx - 1):
+                    r.done = True
+                    self.seq_rm(r.seq)
+                    continue
+                rows.append(r)
+                toks0.append(tok)
+            if not rows:
+                continue
+            inflight = self._dispatch_chunk(rows, toks0, kk)
+            pending_rm: list[Request] = []
+            while True:
+                # dispatch the successor IFF every row can absorb another
+                # kk tokens past the in-flight chunk without crossing its
+                # n_predict/ctx limit (EOS is the only mid-chunk stop the
+                # host can't predict) and nobody went zombie last retire
+                can_pipe = all(
+                    not r.done
+                    and len(r.out) + 2 * kk <= r.n_predict
+                    and r.pos + kk <= self.n_ctx - 1 for r in rows)
+                nxt = self._dispatch_chunk(rows, inflight[kk - 1], kk) \
+                    if can_pipe else None
+                ids = np.asarray(inflight)      # (kk, nb); overlaps nxt
+                for row, r in enumerate(rows):
+                    if r.done:                  # zombie: discard the chunk
+                        continue
+                    for i in range(kk):
+                        tok = int(ids[i, row])
+                        if i == kk - 1 and nxt is None:
+                            # pipeline drains: defer the last token exactly
+                            # like step_chunk (sampled, not yet fed)
+                            r.next_tok = tok
+                            break
+                        r.out.append(tok)
+                        if ((r.eos_id is not None and tok == r.eos_id)
+                                or len(r.out) >= r.n_predict
+                                or r.pos >= self.n_ctx - 1):
+                            r.done = True
+                            r.next_tok = None
+                            if nxt is None:
+                                self.seq_rm(r.seq)
+                            else:
+                                pending_rm.append(r)  # cells still in use
+                            break
+                if nxt is None:
+                    break                       # outer loop compacts rows
+                inflight = nxt
+            for r in pending_rm:
+                self.seq_rm(r.seq)
+        return {rid: r.out for rid, r in self.requests.items()}
 
     def _sample(self, r: Request) -> int:
         if self.on_device_sampling:

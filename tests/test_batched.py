@@ -453,3 +453,53 @@ def test_step_chunk_eos_and_cell_reuse(tiny):
     while be.step_chunk(4):
         pass
     assert len(be.requests[rid2].out) == 6
+
+def test_run_pipelined_matches_single_steps(tiny):
+    """run_pipelined(k) — double-buffered chunk dispatch (chunk j+1 runs
+    from chunk j's device token carry before j's tokens are fetched) —
+    must produce exactly the greedy tokens the per-step loop produces,
+    including requests whose n_predict is not a multiple of k."""
+    cfg, params = tiny
+    prompts = [[3, 14, 15], [92, 6, 53, 35], [8, 44]]
+    npreds = [11, 7, 18]
+
+    ref = BatchedEngine(gpt2, cfg, params, compute_dtype=jnp.float32,
+                        kv_dtype=jnp.float32, on_device_sampling=True)
+    rids_r = [ref.add_request(p, n, temp=0.0)
+              for p, n in zip(prompts, npreds)]
+    while ref.step():
+        pass
+
+    be = BatchedEngine(gpt2, cfg, params, compute_dtype=jnp.float32,
+                       kv_dtype=jnp.float32, on_device_sampling=True)
+    rids_c = [be.add_request(p, n, temp=0.0)
+              for p, n in zip(prompts, npreds)]
+    outs = be.run_pipelined(4)
+    for rr, rc in zip(rids_r, rids_c):
+        assert outs[rc] == ref.requests[rr].out, \
+            (outs[rc], ref.requests[rr].out)
+    assert (be.cell_pos[:-1] == -1).all()          # all cells freed
+
+
+def test_run_pipelined_eos_discard_and_cell_reuse(tiny):
+    """EOS hit while a successor chunk is in flight: the successor's
+    tokens for that row are discarded, its cells (incl. the in-flight
+    chunk's pre-registered ones) are freed, and the pool stays usable."""
+    cfg, params = tiny
+    be = BatchedEngine(gpt2, cfg, params, compute_dtype=jnp.float32,
+                       kv_dtype=jnp.float32, on_device_sampling=True,
+                       n_ctx=64)
+    probe = be.add_request([5, 9, 3], 12, temp=0.0)
+    be.run_pipelined(3)
+    out = be.requests[probe].out
+    del be.requests[probe]
+
+    eos = out[4]                     # mid-second-chunk with k=3
+    rid = be.add_request([5, 9, 3], 12, temp=0.0, eos_id=eos)
+    be.run_pipelined(3)
+    want = out[:out.index(eos) + 1]
+    assert be.requests[rid].out == want, (be.requests[rid].out, want)
+    assert (be.cell_pos[:-1] == -1).all()
+    rid2 = be.add_request([7, 2], 6, temp=0.0)
+    be.run_pipelined(3)
+    assert len(be.requests[rid2].out) == 6

@@ -1,43 +1,65 @@
 #!/bin/bash
-# Round-3 chip measurement queue — run once the tunnel chip is reachable.
-# Each stage logs to /tmp/r3_<stage>.log; stages are ordered so compile-cache
-# warming from earlier stages benefits later ones. Safe to re-run; every
-# stage is independently timeout-bounded.
+# Chip measurement queue — THE one entry point for real-TPU measurements.
+# (VERDICT r04 item 9: the r3/r4 one-shot queue scripts are consolidated
+# here; tools/MEASUREMENTS.md is the manifest of what each stage measures
+# and where its result lands.)
+#
+# Usage:
+#   tools/run_chip_batch.sh                 # standard round queue
+#   tools/run_chip_batch.sh bench llama     # just the named stages
+#   tools/run_chip_batch.sh --list          # print the stage table
+#
+# Each stage logs to /tmp/chip_<stage>.log, is timeout-bounded, and is
+# independent (safe to re-run). Stages that wipe .jax_cache say so and
+# never run unless named explicitly.
 set -u
 cd /root/repo
+
 run() {
   local name=$1; shift
   local t=$1; shift
   echo "=== $name ($(date +%H:%M:%S)) ==="
-  timeout "$t" "$@" > "/tmp/r3_$name.log" 2>&1
+  timeout "$t" "$@" > "/tmp/chip_$name.log" 2>&1
   local rc=$?
-  tail -3 "/tmp/r3_$name.log" | grep -v WARNING
+  grep -v WARNING "/tmp/chip_$name.log" | tail -6
   echo "--- $name rc=$rc"
 }
 
-# 1. headline: chained decode + p50 TTFT (also the BENCH_r03 preview)
-run bench 2400 python bench.py
+# stage <name>: one measurement; see tools/MEASUREMENTS.md for the doc row
+stage() {
+  local name=$1
+  case "$name" in
+    bench)          run bench 3600 python -u bench.py ;;
+    bench_unrolled) run bench_unrolled 3600 python -u bench.py --unrolled ;;
+    llama)          run llama 2800 python tools/bench_models.py llama2-7b-q4_k-stacked ;;
+    whisper_s)      run whisper_s 2400 python tools/bench_models.py whisper-small-q5_0 ;;
+    whisper_m)      run whisper_m 2400 python tools/bench_models.py whisper-medium-q5_0 ;;
+    whisper_rtf)    run whisper_rtf 2400 python tools/bench_models.py whisper-small-rtf ;;
+    qrow)           run qrow 3600 python -u tools/quality_tpu_row.py ;;
+    serve)          run serve 3500 python examples/serve.py --bench -np 8 ;;
+    serve_steady)   run serve_steady 3500 python examples/serve.py --bench -np 8 --n_predict 256 --steady ;;
+    prefill_diag)   run prefill_diag 3600 python -u tools/diag_prefill.py ;;
+    decode_diag)    run decode_diag 3500 python -u tools/diag_stacked_combo.py 28 512 neither,noelem,twostep ;;
+    qmm)            run qmm 2400 python -u tools/bench_qmm_variants.py -r 30 -f "rowpair|ceiling|w4a8|production" ;;
+    hbm)            run hbm 1200 python -u tools/bench_hbm.py ;;
+    qgate_mid_train) GGML_QGATE_PLATFORM=default run qgate_mid_train 3600 \
+                       python tools/quality_gate.py --geometry mid --train-only ;;
+    qgate_mid)      GGML_QGATE_PLATFORM=default run qgate_mid 5400 \
+                       python -u tools/quality_gate.py --geometry mid ;;
+    # cold-start A/B: wipes the compile cache — only runs when named.
+    cold)           rm -rf /root/repo/.jax_cache
+                    run cold_bench 3000 python bench.py ;;
+    *) echo "unknown stage: $name (see --list)"; return 1 ;;
+  esac
+}
 
-# 2. the stacked-decode ablation (answers the 5.75 ms mystery + A/Bs the
-#    fused KV-write kernel)
-run combo 3500 python -u tools/diag_stacked_combo.py 28 512 full,twostep,noupd,neither
+STANDARD="bench llama whisper_s whisper_rtf qrow serve_steady"
 
-# 3. fused-loop scan decode (tok/s through one executable)
-run scan 1800 python bench.py --scan
+if [ "${1:-}" = "--list" ]; then
+  sed -n 's/^    \([a-z_]*\)) .*/\1/p' "$0" | sort -u
+  echo "(default queue: $STANDARD)"
+  exit 0
+fi
 
-# 3b. stacked headline A/B: same metric through the scan-over-layers path
-#     (reports its own warmup_s — the cold-start story)
-run bench_stacked 2400 python bench.py --stacked
-
-# 4. secondary configs
-run llama 2400 python tools/bench_models.py llama2-7b-q4_k-stacked
-run whisper_s 2400 python tools/bench_models.py whisper-small-q5_0
-run whisper_m 2400 python tools/bench_models.py whisper-medium-q5_0
-
-# 5. quality gate TPU kernel-path row
-run qrow 1800 python tools/quality_tpu_row.py
-
-# 6. serving benchmark (8 concurrent, mixed prefill/decode)
-run serve 3500 python examples/serve.py --bench -np 8
-
+for s in ${*:-$STANDARD}; do stage "$s"; done
 echo "ALL DONE $(date)"
