@@ -44,6 +44,43 @@ def _chunk_attention(q, k, v, mask, scale):
     return o, lse
 
 
+def ring_attention_local(q, k, v, qpos, kpos, *, axis: str, n_dev: int,
+                         scale: float | None = None, causal: bool = False):
+    """The ring body, callable INSIDE an existing shard_map (e.g. the
+    tp×sp ring-prefill forward, parallel/tp.py): q/k/v are this device's
+    LOCAL sequence chunks (B, T_loc, H_loc, D); qpos/kpos (B, T_loc) carry
+    the chunks' ABSOLUTE positions so the causal mask stays exact while KV
+    shards rotate around the `axis` ring. Returns f32 (B, T_loc, H_loc, D)
+    — each device's queries attended over the GLOBAL sequence."""
+    b, tq, h, d = q.shape
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def step(carry, _):
+        k, v, kpos, acc, lse = carry
+        if causal:
+            m = jnp.where(kpos[:, None, None, :] <= qpos[:, None, :, None],
+                          0.0, -jnp.inf)
+        else:
+            m = None
+        o_i, lse_i = _chunk_attention(q, k, v, m, scale)
+        # online merge across ring steps
+        new_lse = jnp.logaddexp(lse, lse_i)
+        w_old = jnp.exp(lse - new_lse)[..., None].transpose(0, 2, 1, 3)
+        w_new = jnp.exp(lse_i - new_lse)[..., None].transpose(0, 2, 1, 3)
+        acc = acc * w_old + o_i * w_new
+        k = jax.lax.ppermute(k, axis, perm)
+        v = jax.lax.ppermute(v, axis, perm)
+        kpos = jax.lax.ppermute(kpos, axis, perm)
+        return (k, v, kpos, acc, new_lse), None
+
+    acc0 = jnp.zeros((b, tq, h, d), jnp.float32)
+    lse0 = jnp.full((b, h, tq), NEG, jnp.float32)
+    (k, v, kpos, acc, lse), _ = jax.lax.scan(
+        step, (k, v, kpos, acc0, lse0), None, length=n_dev)
+    return acc
+
+
 def ring_attention(q, k, v, mesh: Mesh, *, axis: str = "sp",
                    scale: float | None = None, causal: bool = False,
                    q_positions=None, kv_positions=None):
@@ -57,39 +94,14 @@ def ring_attention(q, k, v, mesh: Mesh, *, axis: str = "sp",
     n_dev = mesh.shape[axis]
     b, tq, h, d = q.shape
     tk = k.shape[1]
-    scale = scale if scale is not None else 1.0 / math.sqrt(d)
     if q_positions is None:
         q_positions = jnp.broadcast_to(jnp.arange(tq)[None], (b, tq))
     if kv_positions is None:
         kv_positions = jnp.broadcast_to(jnp.arange(tk)[None], (b, tk))
 
-    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-
     def body(q, k, v, qpos, kpos):
-        # local shapes: k/v/kpos carry this device's sequence shard
-        def step(carry, _):
-            k, v, kpos, acc, lse = carry
-            if causal:
-                m = jnp.where(kpos[:, None, None, :] <= qpos[:, None, :, None],
-                              0.0, -jnp.inf)
-            else:
-                m = None
-            o_i, lse_i = _chunk_attention(q, k, v, m, scale)
-            # online merge across ring steps
-            new_lse = jnp.logaddexp(lse, lse_i)
-            w_old = jnp.exp(lse - new_lse)[..., None].transpose(0, 2, 1, 3)
-            w_new = jnp.exp(lse_i - new_lse)[..., None].transpose(0, 2, 1, 3)
-            acc = acc * w_old + o_i * w_new
-            k = jax.lax.ppermute(k, axis, perm)
-            v = jax.lax.ppermute(v, axis, perm)
-            kpos = jax.lax.ppermute(kpos, axis, perm)
-            return (k, v, kpos, acc, new_lse), None
-
-        acc0 = jnp.zeros((b, tq, h, d), jnp.float32)
-        lse0 = jnp.full((b, h, tq), NEG, jnp.float32)
-        (k, v, kpos, acc, lse), _ = jax.lax.scan(
-            step, (k, v, kpos, acc0, lse0), None, length=n_dev)
-        return acc
+        return ring_attention_local(q, k, v, qpos, kpos, axis=axis,
+                                    n_dev=n_dev, scale=scale, causal=causal)
 
     fn = shard_map(body, mesh=mesh,
                    in_specs=(P(), P(None, axis), P(None, axis), P(),

@@ -330,6 +330,120 @@ def collective_volume_model(cfg, tp: int, *, batch: int = 1,
             "predicted_scaling_efficiency": eff}
 
 
+# ---- ring prefill: tp × sp long-context prefill (SURVEY §5) ----
+
+
+def init_cache_ringsp(cfg, mesh: Mesh, batch: int = 1,
+                      n_ctx: int | None = None, dtype=jnp.bfloat16,
+                      tp_axis: str = "tp", sp_axis: str = "sp") -> KVCache:
+    """Flat KV arena for the ring-prefill path: the sequence axis sharded
+    over `sp` (each device owns a contiguous chunk of the global context,
+    stored at LOCAL offset 0 — global position = shard_index * (n_ctx/sp)
+    + local index) and heads over `tp`. The full-context cache never
+    exists on any one device, so the reachable context is sp× one chip's
+    KV budget — the long-context capability the reference lacks
+    (SURVEY.md §5; its n_ctx is bounded by one device's preallocation,
+    /root/reference/examples/gpt-j/main.cpp:560)."""
+    sp, tp = mesh.shape[sp_axis], mesh.shape[tp_axis]
+    H = getattr(cfg, "n_head_kv", cfg.n_head)
+    n_ctx = n_ctx or cfg.n_ctx
+    assert n_ctx % sp == 0 and H % tp == 0, (n_ctx, sp, H, tp)
+    cache = init_kv_cache(cfg.n_layer, batch, n_ctx, H, cfg.head_dim,
+                          dtype, flat=True)
+    spec = P(None, None, sp_axis, tp_axis)
+    put = lambda x: None if x is None else \
+        jax.device_put(x, NamedSharding(mesh, spec))
+    return KVCache(put(cache.k), put(cache.v), put(cache.ks), put(cache.vs),
+                   heads=H // tp)
+
+
+def forward_ring_prefill(cfg, params, tokens, positions, cache: KVCache,
+                         mesh: Mesh, specs: dict, tp_axis: str = "tp",
+                         sp_axis: str = "sp"):
+    """Long-context GPT-J prefill over a (tp, sp) mesh: weights sharded
+    exactly as forward_tp (shard_params_tp — heads/features over tp),
+    the SEQUENCE sharded over sp. Each device computes q/k/v for its own
+    token chunk, writes its KV-arena shard in place, and attends over the
+    full global context by rotating KV chunks around the sp ring
+    (ring_attention_local) with absolute-position causal masks — exact
+    attention, one psum per layer over tp, zero sp collectives outside
+    attention (MLP and norms are position-local).
+
+    tokens/positions: (B, T) global, sharded P(None, sp); T must fill the
+    arena chunks (T == cache n_ctx). Returns (logits sharded P(None, sp,
+    None), updated sharded cache). The last token's logits live on the
+    last sp shard; jnp indexing assembles them transparently."""
+    from ..ops.activations import gelu
+    from ..ops.embedding import get_rows
+    from ..ops.norms import layer_norm
+    from ..ops.rope import rope
+    from ..ops.qmatmul import qmatmul, qmatmul_stacked
+    from ..models.common import scan_layers
+    from .ring_attention import ring_attention_local
+
+    tp, sp = mesh.shape[tp_axis], mesh.shape[sp_axis]
+    E, H, D = cfg.n_embd, cfg.n_head, cfg.head_dim
+    E_loc, H_loc = E // tp, H // tp
+    B, T = tokens.shape
+    assert T % sp == 0, (T, sp)
+    T_loc = T // sp
+    assert T == cache.k.shape[2], \
+        ("ring prefill fills the arena exactly: global T must equal the "
+         "cache n_ctx", T, cache.k.shape[2])
+
+    def body(params, tokens, positions, cache):
+        st = params["stack"]
+        qts = {k: v for k, v in st.items() if isinstance(v, QTensor)}
+        small = {k: v for k, v in st.items() if not isinstance(v, QTensor)}
+        x = get_rows(params["wte"], tokens, dtype=jnp.float32)
+
+        def layer(carry, xs):
+            x, cache = carry
+            li, sm = xs
+            cur = layer_norm(x, sm["ln_1_g"], sm["ln_1_b"])
+            qkvf = qmatmul_stacked(cur, qts["qkvf_w"], li)
+            qkv = qkvf[..., :3 * E_loc].reshape(B, T_loc, 3, H_loc, D)
+            q, kk, vv = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            ff_pre = qkvf[..., 3 * E_loc:]
+            q = rope(q, positions, n_dims=cfg.n_rot, mode=0)
+            kk = rope(kk, positions, n_dims=cfg.n_rot, mode=0)
+            # local chunk lands at LOCAL offset 0 of this device's arena
+            # shard (global offset = shard_index * T_loc)
+            cache2 = update_kv(cache, li, kk, vv, 0)
+            attn = ring_attention_local(
+                q, kk, vv, positions, positions, axis=sp_axis, n_dev=sp,
+                causal=True)
+            attn = attn.reshape(B, T_loc, E_loc)
+            ff = gelu(ff_pre + sm["fc_in_b"])
+            y = qmatmul_stacked(jnp.concatenate([attn, ff], axis=-1),
+                                qts["of_w"], li)
+            y = jax.lax.psum(y, tp_axis)           # ONE all-reduce per layer
+            x = x + y + sm["fc_out_b"]
+            return (x, cache2), None
+
+        lis = jnp.arange(cfg.n_layer, dtype=jnp.int32)
+        (x, cache), _ = scan_layers(layer, (x, cache), lis, small)
+        x = layer_norm(x, params["ln_f_g"], params["ln_f_b"])
+        logits = qmatmul(x, params["lmh_w"], out_dtype=jnp.float32) \
+            + params["lmh_b"]
+        logits = jax.lax.all_gather(logits, tp_axis, axis=logits.ndim - 1,
+                                    tiled=True)
+        return logits, cache
+
+    cs = P(None, None, sp_axis, tp_axis)
+    cspec = KVCache(cs, cs, None if cache.ks is None else cs,
+                    None if cache.vs is None else cs, heads=cache.heads)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(specs, P(None, sp_axis), P(None, sp_axis), cspec),
+        out_specs=(P(None, sp_axis, None), cspec),
+        check_vma=False)
+    logits, cache = fn(params, tokens, positions, cache)
+    if params["lmh_w"].n * tp > cfg.n_vocab:       # pad_lm_head columns
+        logits = logits[..., :cfg.n_vocab]
+    return logits, cache
+
+
 # ---- LLaMA-family TP (GQA, sequential attn->mlp residuals) ----
 
 
