@@ -285,12 +285,15 @@ def main():
                               ppl_s - ppl_bf16, kl_s))
         print(f"# {t.name} ggml-sim: ppl {ppl_s:.3f} "
               f"(delta {ppl_s-ppl_bf16:+.3f})", file=sys.stderr)
-        if t == GGMLType.Q4_0:
-            # reference bundle for the TPU-kernel-path row
-            # (tools/quality_tpu_row.py runs the REAL fused W4A8 decode
-            # kernels on the chip over the same window and compares)
+        if t in (GGMLType.Q4_0, GGMLType.Q4_K, GGMLType.Q5_0):
+            # reference bundles for the TPU-kernel-path rows
+            # (tools/quality_tpu_row.py runs the REAL fused decode kernels
+            # on the chip over the same window and compares): Q4_0 = the
+            # headline natpair W4A8 path, Q4_K = LLaMA's natpair-affine
+            # path, Q5_0 = Whisper's nat8 W8A8 path (VERDICT r04 next #5)
+            suffix = "" if t == GGMLType.Q4_0 else f"_{t.name}"
             np_path = Path(__file__).resolve().parents[1] / ".jax_cache" / \
-                "qgate_tpu_ref.npz"
+                f"qgate_tpu_ref{suffix}.npz"
             toks1 = jnp.asarray(heldout[:CTX])[None]
             pos1 = jnp.arange(CTX, dtype=jnp.int32)[None]
             c1 = gpt2.init_cache(cfg, batch=1, n_ctx=CTX, dtype=jnp.float32)
