@@ -162,6 +162,10 @@ def params_repack_device(params, bk: int = DEFAULT_BK, scale_dtype=None):
             return x
         if x.interleaved_bk != 0:
             return replace(x)
+        if x.kind == "nib2" or x.lut is not None:
+            # compressed-IQ codebook layouts run the XLA dequant-fused
+            # path; the affine natpair/nat8 repacks don't apply to them
+            return replace(x)
         # natpair/nat8 have no per-tile permutation, so the K-tile tag just
         # has to divide K: shrink per tensor instead of silently skipping
         # (whisper small/medium have K=768/1024 attention weights — a fixed

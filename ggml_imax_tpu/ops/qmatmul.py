@@ -48,7 +48,27 @@ def dequantize_xla(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
     n_groups = scale.shape[0]
     group = qt.k // n_groups
 
-    if qt.kind == "nib4":
+    if qt.kind == "nib2":
+        # compressed IQ2 residency (quant/device.py): 2-bit codebook index
+        # + sign bitplane; w = ±lut4[q2] * scale. XLA fuses the expansion
+        # into the consuming matmul, so HBM traffic stays at the packed
+        # width (the analog of ggml-cuda/vecdotq.cuh streaming compressed).
+        qs = jnp.asarray(qt.q)                                   # (K/4, N)
+        e = jnp.stack([(qs >> (2 * j)) & 3 for j in range(4)],
+                      axis=1).reshape(qt.k, qt.n)
+        mag = jnp.take(jnp.asarray(qt.lut), e)
+        sb = jnp.asarray(qt.signs)                               # (K/8, N)
+        neg = jnp.stack([(sb >> j) & 1 for j in range(8)],
+                        axis=1).reshape(qt.k, qt.n)
+        q = jnp.where(neg == 1, -mag, mag)
+    elif qt.kind == "nib4" and qt.lut is not None:
+        # compressed IQ3 residency: 4-bit sign+magnitude codebook index
+        qs = jnp.asarray(qt.q)                                   # (K/2, N)
+        g = qs.reshape(qt.k // 32, 16, qt.n)
+        idx = jnp.concatenate([g & 0x0F, g >> 4], axis=1) \
+            .reshape(qt.k, qt.n)
+        q = jnp.take(jnp.asarray(qt.lut), idx)
+    elif qt.kind == "nib4":
         qs = jnp.asarray(qt.q)                                   # (K/2, N)
         if qt.q4_layout == 3:
             # natural-pair layout (repack_natpair_device): byte row i packs

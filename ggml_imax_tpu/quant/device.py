@@ -14,6 +14,14 @@ e.g. CUDA's dequantize_block kernels — src/ggml-cuda/convert.cu):
 - ``int8``: shape (K, N) int8.
   Semantics: w[k, n] = q * scale[g, n] + bias[g, n].
 - ``dense``: unquantized bf16/f32 weights, shape (K, N).
+- codebook variants for the IQ formats (compressed device residency — the
+  analog of the reference streaming these compressed on device,
+  src/ggml-cuda/vecdotq.cuh): ``nib4`` with ``lut`` set stores a 4-bit
+  sign+magnitude code (w = lut16[nib] * scale; IQ3_S/IQ3_XXS — both grids
+  have exactly 8 distinct magnitudes); ``nib2`` stores a 2-bit magnitude
+  code (all IQ2 grids share the 3 magnitudes {8, 25, 43}) plus a (K/8, N)
+  sign bitplane (w = ±lut4[q2] * scale). Both are exact and run the
+  XLA dequant-fused matmul path at their packed width.
 
 K is the contraction dimension (ggml ne[0]); all formats carry one scale (and
 optionally one bias) per 32 contraction elements per output column, which
@@ -66,17 +74,26 @@ class QTensor:
                               # pallas_qmm stacked paths) — the device-side
                               # layout that lets lax.scan-over-layers stream
                               # weights with no per-layer gather/copy
+    lut: Optional[object] = None   # codebook value table: nib4 -> 16-entry
+                              # signed-magnitude LUT (w = lut[nib] * scale),
+                              # nib2 -> 4-entry magnitude LUT. Set for the
+                              # compressed IQ residency layouts; None keeps
+                              # the affine (q - zero) * scale semantics
+    signs: Optional[object] = None  # (K/8, N) uint8 sign bitplane for the
+                              # nib2 kind (bit j of byte row r = sign of
+                              # element 8r+j; 1 = negative)
 
     def tree_flatten(self):
-        return (self.q, self.scale, self.bias), (
+        return (self.q, self.scale, self.bias, self.lut, self.signs), (
             self.kind, self.k, self.n, self.ggml_type, self.zero,
             self.interleaved_bk, self.q4_layout, self.name, self.n_stack)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        q, scale, bias = children
+        q, scale, bias, lut, signs = children
         kind, k, n, t, z, ibk, q4l, name, ns = aux
-        return cls(kind, q, scale, bias, k, n, t, z, ibk, q4l, name, ns)
+        return cls(kind, q, scale, bias, k, n, t, z, ibk, q4l, name, ns,
+                   lut, signs)
 
 
 try:  # register as a pytree so QTensors pass through jit/pjit boundaries
@@ -117,6 +134,104 @@ def _k_scale_min(b) -> tuple[np.ndarray, np.ndarray]:
     d = b["d"].astype(f32)[..., None] * d6.astype(f32)
     m = b["dmin"].astype(f32)[..., None] * m6.astype(f32)
     return d, m
+
+
+def _nib2_from_codes(codes: np.ndarray) -> np.ndarray:
+    """codes: (N, K) uint8 values in [0, 3], natural element order ->
+    packed (K/4, N) uint8 (element k in byte k//4 at shift 2*(k%4))."""
+    nn, k = codes.shape
+    v = codes.reshape(nn, k // 4, 4).astype(np.uint16)
+    packed = (v[:, :, 0] | (v[:, :, 1] << 2) | (v[:, :, 2] << 4)
+              | (v[:, :, 3] << 6)).astype(np.uint8)
+    return np.ascontiguousarray(packed.T)
+
+
+def _bitplane(bits: np.ndarray) -> np.ndarray:
+    """bits: (N, K) 0/1, natural order -> (K/8, N) uint8 (element k is bit
+    k%8 of byte row k//8)."""
+    nn, k = bits.shape
+    v = bits.reshape(nn, k // 8, 8).astype(np.uint16)
+    packed = (v << np.arange(8, dtype=np.uint16)).sum(-1).astype(np.uint8)
+    return np.ascontiguousarray(packed.T)
+
+
+def _iq3_decompose(b, t: GGMLType, n: int, k: int):
+    """IQ3_S/IQ3_XXS blocks -> (mag (n,k) uint8 grid magnitudes, neg (n,k)
+    0/1 signs, db (n, k/32) f32 per-32 scales) in natural element order —
+    mirrors codecs.dequantize_iq3_{s,xxs} exactly (same f32 op order)."""
+    import pathlib
+    z = np.load(pathlib.Path(__file__).parent / "iq_grids.npz")
+    d = b["d"].astype(f32)                              # (n, NB)
+    if t == GGMLType.IQ3_S:
+        grid = z["iq3s_grid"].view(np.uint8).reshape(512, 4)
+        qs = b["qs"].reshape(n, -1, 8, 8).astype(np.uint32)
+        qh = b["qh"].astype(np.uint32)                  # (n, NB, 8)
+        sgn = b["signs"].reshape(n, -1, 8, 4)
+        sc = b["scales"]                                # (n, NB, 4)
+        dbl = d[..., None] * (1 + 2 * (sc & 0xF).astype(f32))
+        dbh = d[..., None] * (1 + 2 * (sc >> 4).astype(f32))
+        db = np.stack([dbl, dbh], axis=-1).reshape(n, -1)   # (n, k/32)
+        l = np.arange(4)
+        idx1 = qs[..., 0::2] | ((qh[..., None] << (8 - 2 * l)) & 256)
+        idx2 = qs[..., 1::2] | ((qh[..., None] << (7 - 2 * l)) & 256)
+        mag = np.concatenate([grid[idx1], grid[idx2]], axis=-1)
+        neg = (codecs._sign_bits(sgn) < 0).astype(np.uint8)
+    else:
+        grid = z["iq3xxs_grid"].view(np.uint8).reshape(256, 4)
+        qs = b["qs"][:, :, :QK_K // 4].reshape(n, -1, 8, 8)
+        aux = np.ascontiguousarray(b["qs"][:, :, QK_K // 4:]) \
+            .view("<u4").reshape(n, -1, 8)
+        db32 = d[..., None] * (f32(0.5) + (aux >> 28).astype(f32)) * f32(0.5)
+        db = db32.reshape(n, -1)
+        l = np.arange(4)
+        sidx = np.stack([(aux >> (7 * li)) & 127 for li in l], axis=-1)
+        neg = (codecs._KSIGNS8[sidx] < 0).astype(np.uint8)
+        mag = np.concatenate([grid[qs[..., 0::2]], grid[qs[..., 1::2]]],
+                             axis=-1)
+    return mag.reshape(n, k), neg.reshape(n, k), db
+
+
+def _iq2_decompose(b, t: GGMLType, n: int, k: int):
+    """IQ2_XXS/XS/S blocks -> (mag, neg, db, scale_group): natural-order
+    grid magnitudes/signs plus per-group scales (group 32 for XXS, 16 for
+    XS/S) — mirrors codecs.dequantize_iq2_* exactly."""
+    import pathlib
+    z = np.load(pathlib.Path(__file__).parent / "iq_grids.npz")
+    d = b["d"].astype(f32)
+    if t == GGMLType.IQ2_XXS:
+        grid = z["iq2xxs_grid"].view(np.uint8).reshape(256, 8)
+        q = b["qs"].reshape(n, -1, 8, 4)
+        aux0 = np.ascontiguousarray(q[..., :2]).view("<u4")[..., 0]
+        aux1 = np.ascontiguousarray(q[..., 2:]).view("<u4")[..., 0]
+        db = (d[..., None] * (f32(0.5) + (aux1 >> 28).astype(f32))
+              * f32(0.25)).reshape(n, -1)               # per-32
+        l = np.arange(4)
+        idx = np.stack([(aux0 >> (8 * li)) & 0xFF for li in l], axis=-1)
+        sidx = np.stack([(aux1 >> (7 * li)) & 127 for li in l], axis=-1)
+        mag = grid[idx]
+        neg = (codecs._KSIGNS8[sidx] < 0).astype(np.uint8)
+        return mag.reshape(n, k), neg.reshape(n, k), db, 32
+    if t == GGMLType.IQ2_XS:
+        grid = z["iq2xs_grid"].view(np.uint8).reshape(512, 8)
+        q = b["qs"].reshape(n, -1, 8, 4).astype(np.uint32)
+        sc = b["scales"]
+        mag = grid[q & 511]
+        neg = (codecs._KSIGNS8[q >> 9] < 0).astype(np.uint8)
+    else:                                               # IQ2_S
+        grid = z["iq2s_grid"].view(np.uint8).reshape(1024, 8)
+        qs = b["qs"][:, :, :QK_K // 8].reshape(n, -1, 8, 4).astype(np.uint32)
+        sgn = b["qs"][:, :, QK_K // 8:].reshape(n, -1, 8, 4)
+        qh = b["qh"].astype(np.uint32)
+        sc = b["scales"]
+        l = np.arange(4)
+        idx = qs | ((qh[..., None] << (8 - 2 * l)) & 0x300)
+        mag = grid[idx]
+        neg = (codecs._sign_bits(sgn) < 0).astype(np.uint8)
+    db0 = d[..., None] * (f32(0.5) + (sc & 0xF).astype(f32)) * f32(0.25)
+    db1 = d[..., None] * (f32(0.5) + (sc >> 4).astype(f32)) * f32(0.25)
+    # per (ib32, l-pair): db0 covers elements 0-15, db1 16-31 -> per-16 rows
+    db16 = np.stack([db0, db1], axis=-1).reshape(n, -1)
+    return mag.reshape(n, k), neg.reshape(n, k), db16, 16
 
 
 def to_device_format(raw: np.ndarray, t: GGMLType, shape_ne: tuple[int, ...]) -> QTensor:
@@ -227,11 +342,45 @@ def to_device_format(raw: np.ndarray, t: GGMLType, shape_ne: tuple[int, ...]) ->
         scale = (b["d"].astype(f32)[..., None] * b["scales"].astype(f32)).reshape(n, -1)  # per-16
         return QTensor("int8", qdev, np.ascontiguousarray(scale.T), None, k, n, t)
 
-    if t in (GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
-             GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S,
-             GGMLType.IQ1_M):
-        # codebook grids don't factor into (int, per-block scale); decode to
-        # a dense image once at load (these are decode-only formats here)
+    if t in (GGMLType.IQ3_S, GGMLType.IQ3_XXS):
+        # compressed residency (VERDICT r04 item 7): both IQ3 grids carry
+        # only 8 distinct magnitudes, so sign+magnitude is an exact 4-bit
+        # code — w = lut16[nib] * scale32, resident at ~1.5x the packed
+        # bytes instead of the 4.7x of a dense bf16 image (the reference
+        # streams these compressed on device too, ggml-cuda/vecdotq.cuh)
+        mag, neg, db = _iq3_decompose(b, t, n, k)
+        mags = np.array([1, 3, 5, 7, 9, 11, 13, 15] if t == GGMLType.IQ3_S
+                        else [4, 12, 20, 28, 36, 44, 52, 62], np.uint8)
+        idx = np.searchsorted(mags, mag).astype(np.uint8)
+        assert (mags[idx] == mag).all(), "unexpected IQ3 grid magnitude"
+        lut = np.concatenate([mags, -mags.astype(np.int16)]).astype(f32)
+        nib = (idx + 8 * neg).astype(np.uint8)
+        return QTensor("nib4", _nib4_from_u8(nib.reshape(n, k)),
+                       np.ascontiguousarray(db.reshape(n, k // 32).T), None,
+                       k, n, t, zero=0, lut=lut)
+
+    if t in (GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S):
+        # all IQ2 grids share 3 magnitudes {8, 25, 43}: a 2-bit code plus a
+        # sign bitplane is exact — w = ±lut4[q2] * scale, resident at
+        # 1.9–2.2x the packed bytes (scales per-16 for XS/S, per-32 for XXS)
+        mag, neg, db, sgroup = _iq2_decompose(b, t, n, k)
+        mags = np.array([8, 25, 43], np.uint8)
+        idx = np.searchsorted(mags, mag).astype(np.uint8)
+        assert (mags[idx] == mag).all(), "unexpected IQ2 grid magnitude"
+        lut = np.array([8.0, 25.0, 43.0, 0.0], f32)
+        return QTensor(
+            "nib2", _nib2_from_codes(idx.reshape(n, k)),
+            np.ascontiguousarray(db.reshape(n, k // sgroup).T), None,
+            k, n, t, zero=0, lut=lut,
+            signs=_bitplane(neg.reshape(n, k)))
+
+    if t in (GGMLType.IQ1_S, GGMLType.IQ1_M):
+        # documented waiver: the 1.56/1.75-bpw formats carry per-8/16
+        # element deltas; the tightest exact factored layout (2-bit code +
+        # per-32 f32 scale AND bias rows) is 4 bpw = 2.6x packed — above
+        # the 2x residency budget — so these two stay dense at load.
+        # They are decode-only curiosity formats here (no encoder ships
+        # real checkpoints at 1 bit in the reference CI either).
         w = codecs.dequantize(raw, t, shape=(n, k)).T
         return QTensor("dense", np.ascontiguousarray(w), None, None, k, n, t)
 
@@ -319,7 +468,20 @@ def dequantize_qtensor(qt: QTensor) -> np.ndarray:
         g = qs.reshape(qt.k // 32, 16, qt.n)
         lo = (g & 0x0F).astype(np.int16)
         hi = (g >> 4).astype(np.int16)
-        q = np.concatenate([lo, hi], axis=1).reshape(qt.k, qt.n).astype(f32) - float(qt.zero)
+        idx = np.concatenate([lo, hi], axis=1).reshape(qt.k, qt.n)
+        if qt.lut is not None:                       # codebook: w = lut[nib]
+            q = np.asarray(qt.lut, f32)[idx]
+        else:
+            q = idx.astype(f32) - float(qt.zero)
+    elif qt.kind == "nib2":
+        qs = np.asarray(qt.q)                        # (K/4, N)
+        e = np.stack([(qs >> (2 * j)) & 3 for j in range(4)],
+                     axis=1).reshape(qt.k, qt.n)
+        mag = np.asarray(qt.lut, f32)[e]
+        sb = np.asarray(qt.signs)                    # (K/8, N)
+        neg = np.stack([(sb >> j) & 1 for j in range(8)],
+                       axis=1).reshape(qt.k, qt.n)
+        q = np.where(neg == 1, -mag, mag)
     else:
         q = np.asarray(qt.q, dtype=f32)              # (K, N)
     w = q.reshape(-1, group, qt.n) * scale[:, None, :]
@@ -455,6 +617,8 @@ def stack_layers(layers: list[dict]) -> dict:
     for key in keys:
         a = layers[0][key]
         if isinstance(a, QTensor):
+            assert a.signs is None, \
+                "stacking nib2 (compressed-IQ2) tensors is unsupported"
             for lp in layers[1:]:
                 b = lp[key]
                 assert (b.kind, b.k, b.n, b.ggml_type, b.zero,
