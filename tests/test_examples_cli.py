@@ -133,3 +133,25 @@ def test_serve_bench_smoke(monkeypatch):
     assert rec["metric"] == "serve_gptj6b_q4_0_tok_s"
     assert rec["value"] > 0 and rec["p50_ttft_ms"] > 0
     assert rec["n_requests"] == 3 and rec["generated"] == 3 * 6
+
+def test_serve_bench_steady_smoke():
+    """`serve.py --bench --steady`: the steady-state serving bench drains
+    the post-ramp decode tail through the double-buffered pipeline
+    (run_pipelined) and reports steady_tok_s separately."""
+    import json
+    import os
+    import subprocess
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import sys, runpy;"
+        f"sys.argv = ['serve.py', '--bench', '-np', '3', '--steady'];"
+        f"runpy.run_path({str(REPO / 'examples/serve.py')!r},"
+        " run_name='__main__')"
+    )
+    env = dict(os.environ, GGML_SERVE_BENCH_TINY="1")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=400, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["steady_tok_s"] > 0 and rec["steady_generated"] > 0
+    assert rec["generated"] == 3 * 6
