@@ -33,6 +33,13 @@ def bench(args):
     n_req = args.n_parallel
     tiny = os.environ.get("GGML_SERVE_BENCH_TINY") == "1"   # CPU CI smoke
     n_ctx = args.ctx_size or (256 if tiny else 2048)
+    if args.steady and not args.ctx_size and not tiny:
+        # the cell pool must hold every request's prompt + full decode +
+        # the pipeline's pre-registered chunk cells simultaneously (long
+        # decodes, no early frees) — size it to the workload
+        need = n_req * (128 + args.n_predict + 2 * args.chunk) + 64
+        while n_ctx < need:
+            n_ctx *= 2
     cfg = gptj.GPTJConfig(n_vocab=256 if tiny else 50400, n_ctx=n_ctx,
                           n_embd=256 if tiny else 4096,
                           n_head=8 if tiny else 16,

@@ -81,6 +81,24 @@ class WhisperPipeline:
             return W.decode(cfg, params, toks, pos, cache, cross, n_past,
                             compute_dtype=compute_dtype)
         self._decode = jax.jit(dec, donate_argnums=(3,))
+
+        def dec_topk(params, toks, pos, cache, cross, n_past, k):
+            # beam-search fast path: log-softmax + special-token suppression
+            # + per-beam top-k ON DEVICE, so each step fetches (beam, k)
+            # floats instead of (beam, n_vocab) — the full-logits fetch is
+            # ~1 MB/step over a tunneled link and dominated the end-to-end
+            # RTF. Exact: any global top-k candidate is inside its own
+            # beam's top-k.
+            logits, cache = W.decode(cfg, params, toks, pos, cache, cross,
+                                     n_past, compute_dtype=compute_dtype)
+            lp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), -1)
+            ids = jax.lax.iota(jnp.int32, lp.shape[-1])
+            sup = (ids >= cfg.token_sot) & (ids != cfg.token_eot)
+            lp = jnp.where(sup[None], -jnp.inf, lp)
+            vals, idx = jax.lax.top_k(lp, k)
+            return vals, idx, cache
+        self._decode_topk = jax.jit(dec_topk, donate_argnums=(3,),
+                                    static_argnames=("k",))
         self._encode = jax.jit(lambda p, mel: W.encode(
             cfg, p, mel, compute_dtype=compute_dtype))
         self._cross = jax.jit(lambda p, enc: W.precompute_cross_kv(
@@ -136,9 +154,18 @@ class WhisperPipeline:
 
         toks = np.tile(np.asarray(prompt, np.int32)[None], (beam, 1))
         pos = np.tile(np.arange(len(prompt), dtype=np.int32)[None], (beam, 1))
-        logits, cache = self._decode(self.params, jnp.asarray(toks),
-                                     jnp.asarray(pos), cache, cross_b, 0)
-        logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+        use_topk = temperature == 0.0
+        K2 = 2 * beam
+        if use_topk:
+            vals, idx, cache = self._decode_topk(
+                self.params, jnp.asarray(toks), jnp.asarray(pos), cache,
+                cross_b, 0, k=K2)
+            vals_h, idx_h = np.asarray(vals), np.asarray(idx)  # (beam, 2b)
+        else:
+            logits, cache = self._decode(self.params, jnp.asarray(toks),
+                                         jnp.asarray(pos), cache, cross_b, 0)
+            logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32),
+                                      axis=-1)
 
         sum_lp = np.zeros(beam)
         sum_lp[1:] = -1e9                       # beams start identical
@@ -147,13 +174,13 @@ class WhisperPipeline:
         n_past = len(prompt)
 
         for step in range(max_new):
-            lp = np.array(logp)                 # (beam, V), writable copy
-            # suppress special tokens except EOT mid-sequence
-            # (whisper.cpp logits filtering, :5062-5123 simplified)
-            sup = min(cfg.token_sot, cfg.n_vocab)
-            special = np.arange(sup, cfg.n_vocab)
-            lp[:, special[special != cfg.token_eot]] = -np.inf
             if temperature > 0.0:
+                lp = np.array(logp)             # (beam, V), writable copy
+                # suppress special tokens except EOT mid-sequence
+                # (whisper.cpp logits filtering, :5062-5123 simplified)
+                sup = min(cfg.token_sot, cfg.n_vocab)
+                special = np.arange(sup, cfg.n_vocab)
+                lp[:, special[special != cfg.token_eot]] = -np.inf
                 nxt = []
                 for b in range(beam):
                     p = np.exp((lp[b] - lp[b].max()) / temperature)
@@ -162,26 +189,31 @@ class WhisperPipeline:
                 order = list(range(beam))
                 new_lp = [sum_lp[b] + lp[b, nxt[b]] for b in range(beam)]
             else:
-                cand = sum_lp[:, None] + lp     # (beam, V)
-                flat = np.argsort(cand.ravel())[::-1][:2 * beam]
+                # suppression + top-2b ran on device: rank the (beam, 2b)
+                # candidate grid — identical to ranking the full (beam, V)
+                # matrix because any global top-2b entry is in its own
+                # beam's top-2b
+                cand = sum_lp[:, None] + vals_h        # (beam, 2b)
+                flat = np.argsort(cand.ravel())[::-1][:K2]
                 order, nxt, new_lp = [], [], []
                 for f in flat:
-                    b, t = divmod(int(f), cfg.n_vocab)
+                    b, j = divmod(int(f), K2)
+                    t = int(idx_h[b, j])
                     if t == cfg.token_eot:
                         n_tok = len(seqs[b])
                         if n_tok > 0:
-                            finished.append((cand[b, t] / (n_tok + 1),
+                            finished.append((cand[b, j] / (n_tok + 1),
                                              list(seqs[b]),
-                                             cand[b, t]))
+                                             cand[b, j]))
                         continue
                     order.append(b)
                     nxt.append(t)
-                    new_lp.append(cand[b, t])
+                    new_lp.append(cand[b, j])
                     if len(order) == beam:
                         break
                 while len(order) < beam:        # degenerate: pad with best
                     order.append(order[0] if order else 0)
-                    nxt.append(int(np.argmax(lp[order[-1]])))
+                    nxt.append(int(idx_h[order[-1], 0]))
                     new_lp.append(-1e9)
 
             seqs = [seqs[b] + [t] for b, t in zip(order, nxt)]
@@ -191,13 +223,20 @@ class WhisperPipeline:
 
             # reorder the KV cache to follow surviving beams (device gather)
             if order != list(range(beam)):
-                idx = jnp.asarray(order)
-                cache = cache.select_batch(idx)
+                bsel = jnp.asarray(order)
+                cache = cache.select_batch(bsel)
             tok_step = jnp.asarray(np.asarray(nxt, np.int32)[:, None])
             pos_step = jnp.full((beam, 1), n_past, jnp.int32)
-            logits, cache = self._decode(self.params, tok_step, pos_step,
-                                         cache, cross_b, n_past)
-            logp = jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), -1)
+            if use_topk:
+                vals, idx, cache = self._decode_topk(
+                    self.params, tok_step, pos_step, cache, cross_b, n_past,
+                    k=K2)
+                vals_h, idx_h = np.asarray(vals), np.asarray(idx)
+            else:
+                logits, cache = self._decode(self.params, tok_step, pos_step,
+                                             cache, cross_b, n_past)
+                logp = jax.nn.log_softmax(logits[:, 0].astype(jnp.float32),
+                                          -1)
             n_past += 1
             if n_past >= n_ctx - 1:
                 break

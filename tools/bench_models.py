@@ -254,6 +254,57 @@ def measure_whisper(name, cfg, *, dec_tokens=64):
         "decode_tok_s": round(1.0 / dec_best, 1)}), flush=True)
 
 
+def measure_whisper_rtf(name, cfg, *, audio_s=120, max_tokens=64,
+                        beam_size=5):
+    """End-to-end real-time factor: wall-clock of the FULL whisper_full
+    analog (mel -> encode -> beam decode -> segment assembly, runtime/
+    whisper_pipeline.py) over `audio_s` seconds of audio, the README
+    "~Nx real-time" analog (/root/reference/README.md:57 via
+    examples/whisper). Synthetic Q5_0 weights at true geometry; synthetic
+    audio; temperature fallback pinned to one greedy-beam attempt and
+    max_tokens fixed so the decode length is deterministic (~64 tokens /
+    30 s chunk — a realistic dense-speech rate). NOTE the beam loop is
+    host-driven per token (the reference's design too), so every step
+    pays the tunnel round trip here — RTF on a co-located host is
+    strictly higher."""
+    from ggml_imax_tpu.models import whisper as W
+    from ggml_imax_tpu.ops.pallas_qmm import params_repack_device
+    from ggml_imax_tpu.runtime.whisper_pipeline import (FullParams,
+                                                        WhisperPipeline)
+    from ggml_imax_tpu.audio.mel import SAMPLE_RATE
+
+    t0 = time.time()
+    params = W.synthetic_params_device(cfg, seed=0)
+    params = params_repack_device(W.prepare_fused(params))
+    params = W.stack_decoder(params)
+    jax.block_until_ready(jax.tree.leaves(params))
+    print(f"# {name}: staged in {time.time()-t0:.0f}s", file=sys.stderr)
+
+    pipe = WhisperPipeline(cfg, params)
+    rng = np.random.default_rng(3)
+    fp = FullParams(beam_size=beam_size, temperatures=(0.0,),
+                    max_tokens=max_tokens)
+
+    warm = (rng.standard_normal(30 * SAMPLE_RATE) * 0.1).astype(np.float32)
+    t0 = time.time()
+    segs = pipe.transcribe(warm, fp)
+    print(f"# {name}: warmup transcribe (compile) {time.time()-t0:.0f}s, "
+          f"{len(segs)} segment(s)", file=sys.stderr)
+
+    samples = (rng.standard_normal(audio_s * SAMPLE_RATE) * 0.1) \
+        .astype(np.float32)
+    t0 = time.perf_counter()
+    segs = pipe.transcribe(samples, fp)
+    wall = time.perf_counter() - t0
+    toks = sum(len(s.tokens) for s in segs)
+    print(json.dumps({
+        "model": name,
+        "audio_s": audio_s, "wall_s": round(wall, 2),
+        "rtf": round(audio_s / wall, 1),
+        "segments": len(segs), "tokens": toks,
+        "beam_size": beam_size}), flush=True)
+
+
 def main():
     from ggml_imax_tpu.models import gpt2, llama, whisper as W
     want = set(sys.argv[1:])
@@ -311,6 +362,13 @@ def main():
                               n_text_state=768, n_text_head=12,
                               n_text_layer=12, n_mels=80)
         measure_whisper("whisper-small-q5_0", cfg)
+    if sel("whisper-small-rtf"):
+        cfg = W.WhisperConfig(n_vocab=51865, n_audio_ctx=1500,
+                              n_audio_state=768, n_audio_head=12,
+                              n_audio_layer=12, n_text_ctx=448,
+                              n_text_state=768, n_text_head=12,
+                              n_text_layer=12, n_mels=80)
+        measure_whisper_rtf("whisper-small-rtf", cfg)
     if sel("whisper-medium-q5_0"):
         cfg = W.WhisperConfig(n_vocab=51865, n_audio_ctx=1500,
                               n_audio_state=1024, n_audio_head=16,
