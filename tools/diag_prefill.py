@@ -100,12 +100,21 @@ def run(cfg, params, name):
         nxt, cache = prefill(params, toks, pos, cache)
         _ = int(nxt[0])
         tc = time.time() - t0
-        best = None
-        for _ in range(5):
+        # calibrate the tunnel fetch round trip (re-fetch a ready value),
+        # then chain 4 prefills per fetch so the RTT is subtracted once
+        lat = []
+        for _ in range(3):
             t0 = time.perf_counter()
-            nxt, cache = prefill(params, toks, pos, cache)
             _ = int(nxt[0])
-            dt = time.perf_counter() - t0
+            lat.append(time.perf_counter() - t0)
+        fetch_lat = min(lat)
+        best = None
+        for _ in range(4):
+            t0 = time.perf_counter()
+            for _ in range(4):
+                nxt, cache = prefill(params, toks, pos, cache)
+            _ = int(nxt[0])
+            dt = (time.perf_counter() - t0 - fetch_lat) / 4
             best = dt if best is None else min(best, dt)
         print(f"NL={cfg.n_layer:2d} {name:7s} {best*1e3:8.2f} ms  "
               f"({T/best:7.0f} tok/s)   [compile+first {tc:.0f}s]",
