@@ -91,10 +91,12 @@ def markov_corpus(n_tokens: int, seed: int = 0) -> np.ndarray:
     return toks.astype(np.int32)
 
 
-def train_model(cfg, steps: int, seed: int = 0):
+def train_model(cfg, steps: int, seed: int = 0, peak_lr: float = 5e-3):
     params = gpt2.synthetic_params(cfg, GGMLType.F32, seed=seed)
     corpus = markov_corpus(steps * 8 * CTX // 4 + 10 * CTX, seed=1)
-    sched = optax.warmup_cosine_decay_schedule(0.0, 5e-3, 40, steps, 3e-4)
+    sched = optax.warmup_cosine_decay_schedule(0.0, peak_lr,
+                                               max(40, steps // 20), steps,
+                                               peak_lr / 20)
     opt = optax.adamw(sched)
     state = opt.init(params)
 
@@ -210,12 +212,18 @@ def main():
             [0.35, 0.2, 0.15, 0.1, 0.08, 0.06, 0.04, 0.02])
         cfg = gpt2.GPT2Config(n_vocab=VOCAB, n_ctx=CTX, n_embd=768,
                               n_head=12, n_layer=12)
-        steps = args.steps or 1200
+        # r04's mid run used the small geometry's 5e-3 peak lr: the 117M
+        # proxy never left the uniform-PPL plateau (F32 ppl 514.5 vs
+        # uniform 512 in the r04 table — the format deltas were noise).
+        # 117M at 2k tokens/step needs a conventional lr and more steps.
+        steps = args.steps or 3000
+        peak_lr = 6e-4
     else:
         # 2L/128E learns the synthetic language in CPU-feasible time
         cfg = gpt2.GPT2Config(n_vocab=VOCAB, n_ctx=CTX, n_embd=128, n_head=4,
                               n_layer=2)
         steps = args.steps or (60 if args.fast else 1500)
+        peak_lr = 5e-3
 
     cache_f = Path(__file__).resolve().parents[1] / ".jax_cache" / \
         f"qgate_params_{cfg.n_layer}L{cfg.n_embd}E_{steps}.pkl"
@@ -226,7 +234,7 @@ def main():
     else:
         print(f"# training {cfg.n_layer}L/{cfg.n_embd}E model, {steps} steps",
               file=sys.stderr)
-        params = train_model(cfg, steps)
+        params = train_model(cfg, steps, peak_lr=peak_lr)
         import pickle
         cache_f.parent.mkdir(exist_ok=True)
         cache_f.write_bytes(pickle.dumps(jax.device_get(params)))
@@ -348,10 +356,18 @@ def main():
                     f"{sims[k]:+.4f} -> **{'PASS' if ok else 'FAIL'}** "
                     f"(gate: ours <= ggml's gap + {NOISE_TOL} path-noise "
                     "floor, at the same weights)\n")
-        f.write("\nUniform-random PPL for this vocabulary is "
-                f"{VOCAB}; the trained model's F32 PPL above shows the "
-                "model carries real structure, so the deltas are "
-                "meaningful.\n")
+        ppl_gap = ppl_f32 / VOCAB
+        if ppl_gap < 0.9:
+            f.write("\nUniform-random PPL for this vocabulary is "
+                    f"{VOCAB}; the trained model's F32 PPL above shows the "
+                    "model carries real structure, so the deltas are "
+                    "meaningful.\n")
+        else:
+            f.write("\n**WARNING**: the proxy's F32 PPL is within 10% of "
+                    f"the uniform baseline ({VOCAB}) — the model carries "
+                    "little structure and the format deltas above are "
+                    "noise-dominated. Retrain with more steps / a lower "
+                    "peak lr before citing this table.\n")
     print(f"wrote {out}")
 
 
