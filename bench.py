@@ -73,8 +73,11 @@ def main():
         # in mosaic dialect: 'f16'", measured r05); bf16 rounds the scale
         # by <=2^-9 relative — negligible next to Q4_0's own ~3% weight
         # rounding (KL row re-measured in docs/QUALITY.md).
-        sdt = {"bf16": jnp.bfloat16, "f32": None}.get(
-            os.environ.get("GGML_W4A8_SCALE_DTYPE", "bf16"), jnp.bfloat16)
+        _sdt_env = os.environ.get("GGML_W4A8_SCALE_DTYPE", "bf16")
+        _sdts = {"bf16": jnp.bfloat16, "f32": None}
+        assert _sdt_env in _sdts, \
+            f"GGML_W4A8_SCALE_DTYPE must be bf16|f32, got {_sdt_env!r}"
+        sdt = _sdts[_sdt_env]
         if sdt is not None:
             print(f"# scales stored {jnp.dtype(sdt).name}", file=sys.stderr)
         if stacked:

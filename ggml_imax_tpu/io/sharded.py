@@ -70,4 +70,10 @@ def load_qtensor_sharded(reader: GGUFReader, name: str, mesh: Mesh,
     q = build("q", n, q_dtype, None)
     scale = build("scale", n, np.float32, None) if probe.scale is not None else None
     bias = build("bias", n, np.float32, None) if probe.bias is not None else None
-    return QTensor(probe.kind, q, scale, bias, k, n, t, zero=probe.zero)
+    # codebook kinds (compressed IQ residency): the LUT is per-format
+    # constant (replicate it); the nib2 sign bitplane shards by column
+    # exactly like q
+    signs = build("signs", n, np.uint8, None) if probe.signs is not None \
+        else None
+    return QTensor(probe.kind, q, scale, bias, k, n, t, zero=probe.zero,
+                   lut=probe.lut, signs=signs)

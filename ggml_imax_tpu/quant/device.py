@@ -155,12 +155,26 @@ def _bitplane(bits: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(packed.T)
 
 
+_IQ_GRIDS = None
+
+
+def _iq_grids_npz():
+    """Cached iq_grids.npz (to_device_format runs once per weight tensor —
+    hundreds of times for a real model — and per shard under the sharded
+    loader; don't re-inflate the archive each time)."""
+    global _IQ_GRIDS
+    if _IQ_GRIDS is None:
+        import pathlib
+        _IQ_GRIDS = dict(np.load(pathlib.Path(__file__).parent
+                                 / "iq_grids.npz"))
+    return _IQ_GRIDS
+
+
 def _iq3_decompose(b, t: GGMLType, n: int, k: int):
     """IQ3_S/IQ3_XXS blocks -> (mag (n,k) uint8 grid magnitudes, neg (n,k)
     0/1 signs, db (n, k/32) f32 per-32 scales) in natural element order —
     mirrors codecs.dequantize_iq3_{s,xxs} exactly (same f32 op order)."""
-    import pathlib
-    z = np.load(pathlib.Path(__file__).parent / "iq_grids.npz")
+    z = _iq_grids_npz()
     d = b["d"].astype(f32)                              # (n, NB)
     if t == GGMLType.IQ3_S:
         grid = z["iq3s_grid"].view(np.uint8).reshape(512, 4)
@@ -506,8 +520,12 @@ def concat_qtensors(qts: list, axis_n: bool = True) -> QTensor:
     q = cat([t.q for t in qts], axis=1)
     scale = None if a.scale is None else cat([t.scale for t in qts], axis=1)
     bias = None if a.bias is None else cat([t.bias for t in qts], axis=1)
+    # codebook kinds: same ggml_type (asserted) => same per-format LUT;
+    # the nib2 sign bitplane concatenates along N like q
+    signs = None if a.signs is None else cat([t.signs for t in qts], axis=1)
     return QTensor(a.kind, q, scale, bias, a.k, sum(t.n for t in qts),
-                   a.ggml_type, a.zero, a.interleaved_bk, a.q4_layout)
+                   a.ggml_type, a.zero, a.interleaved_bk, a.q4_layout,
+                   lut=a.lut, signs=signs)
 
 
 def pad_qtensor_cols(qt: QTensor, multiple: int = 128) -> tuple[QTensor, int]:
@@ -529,11 +547,14 @@ def pad_qtensor_cols(qt: QTensor, multiple: int = 128) -> tuple[QTensor, int]:
     pad = (jnp.pad if hasattr(qt.q, "devices") else np.pad)
     q = pad(qt.q, ((0, 0), (0, npad)))
     # scale rows 0 make padded columns decode to (q - zero) * 0 = 0 for
-    # kinds without bias; biased kinds also pad bias with 0
+    # kinds without bias (incl. the codebook kinds: lut[idx] * 0 = 0);
+    # biased kinds also pad bias with 0
     scale = None if qt.scale is None else pad(qt.scale, ((0, 0), (0, npad)))
     bias = None if qt.bias is None else pad(qt.bias, ((0, 0), (0, npad)))
+    signs = None if qt.signs is None else pad(qt.signs, ((0, 0), (0, npad)))
     return (QTensor(qt.kind, q, scale, bias, qt.k, qt.n + npad,
-                    qt.ggml_type, qt.zero, 0, qt.q4_layout, qt.name), npad)
+                    qt.ggml_type, qt.zero, 0, qt.q4_layout, qt.name,
+                    lut=qt.lut, signs=signs), npad)
 
 
 def pad_qtensor_rows(qt: QTensor, multiple: int = 1024) -> tuple[QTensor, int]:
@@ -562,6 +583,8 @@ def pad_qtensor_rows(qt: QTensor, multiple: int = 1024) -> tuple[QTensor, int]:
     pad = (jnp.pad if hasattr(qt.q, "devices") else np.pad)
     if qt.kind == "nib4":
         q = pad(qt.q, ((0, kpad // 2), (0, 0)))
+    elif qt.kind == "nib2":
+        q = pad(qt.q, ((0, kpad // 4), (0, 0)))   # 4 elements per byte
     elif qt.kind == "int8":
         q = pad(qt.q, ((0, kpad), (0, 0)))
     else:
@@ -574,8 +597,11 @@ def pad_qtensor_rows(qt: QTensor, multiple: int = 1024) -> tuple[QTensor, int]:
     scale = pad(qt.scale, ((0, kpad // group), (0, 0)))
     bias = None if qt.bias is None else pad(qt.bias, ((0, kpad // group),
                                                       (0, 0)))
+    signs = None if qt.signs is None else pad(qt.signs,
+                                              ((0, kpad // 8), (0, 0)))
     return (QTensor(qt.kind, q, scale, bias, qt.k + kpad, qt.n,
-                    qt.ggml_type, qt.zero, 0, qt.q4_layout, qt.name), kpad)
+                    qt.ggml_type, qt.zero, 0, qt.q4_layout, qt.name,
+                    lut=qt.lut, signs=signs), kpad)
 
 
 def stack_layers(layers: list[dict]) -> dict:
@@ -680,5 +706,7 @@ def concat_qtensors_k(qts: list) -> QTensor:
     q = cat([t.q for t in qts], axis=0)
     scale = None if a.scale is None else cat([t.scale for t in qts], axis=0)
     bias = None if a.bias is None else cat([t.bias for t in qts], axis=0)
+    signs = None if a.signs is None else cat([t.signs for t in qts], axis=0)
     return QTensor(a.kind, q, scale, bias, sum(t.k for t in qts), a.n,
-                   a.ggml_type, a.zero, a.interleaved_bk, a.q4_layout)
+                   a.ggml_type, a.zero, a.interleaved_bk, a.q4_layout,
+                   lut=a.lut, signs=signs)

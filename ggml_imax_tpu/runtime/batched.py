@@ -528,9 +528,14 @@ class BatchedEngine:
                     r.next_tok = tok     # sampled, not yet fed — the next
                     break                # step()/step_chunk consumes it
                 r.out.append(tok)
+                # ctx check per TOKEN: token i was sampled at pos0+i and
+                # would be fed (written) at pos0+i+1 — NOT r.pos, which
+                # already advanced past the whole chunk (a pos check here
+                # discarded valid tail tokens whenever a chunk landed
+                # exactly at the arena edge)
                 if ((r.eos_id is not None and tok == r.eos_id)
                         or len(r.out) >= r.n_predict
-                        or r.pos >= self.n_ctx - 1):
+                        or pos0[row] + i + 1 >= self.n_ctx - 1):
                     r.done = True
                     r.next_tok = None
                     self.seq_rm(r.seq)   # frees the unused chunk cells too
@@ -627,6 +632,7 @@ class BatchedEngine:
                 toks0.append(tok)
             if not rows:
                 continue
+            starts = [r.pos for r in rows]     # chunk-start positions
             inflight = self._dispatch_chunk(rows, toks0, kk)
             pending_rm: list[Request] = []
             while True:
@@ -638,8 +644,11 @@ class BatchedEngine:
                     not r.done
                     and len(r.out) + 2 * kk <= r.n_predict
                     and r.pos + kk <= self.n_ctx - 1 for r in rows)
-                nxt = self._dispatch_chunk(rows, inflight[kk - 1], kk) \
-                    if can_pipe else None
+                if can_pipe:
+                    nstarts = [r.pos for r in rows]
+                    nxt = self._dispatch_chunk(rows, inflight[kk - 1], kk)
+                else:
+                    nxt = None
                 ids = np.asarray(inflight)      # (kk, nb); overlaps nxt
                 for row, r in enumerate(rows):
                     if r.done:                  # zombie: discard the chunk
@@ -652,9 +661,13 @@ class BatchedEngine:
                             r.next_tok = tok
                             break
                         r.out.append(tok)
+                        # ctx check per TOKEN (fed at starts[row]+i+1) —
+                        # r.pos has already advanced past the in-flight
+                        # chunks and fired spuriously at the arena edge,
+                        # discarding up to 2k-1 valid tokens
                         if ((r.eos_id is not None and tok == r.eos_id)
                                 or len(r.out) >= r.n_predict
-                                or r.pos >= self.n_ctx - 1):
+                                or starts[row] + i + 1 >= self.n_ctx - 1):
                             r.done = True
                             r.next_tok = None
                             if nxt is None:
@@ -665,6 +678,7 @@ class BatchedEngine:
                 if nxt is None:
                     break                       # outer loop compacts rows
                 inflight = nxt
+                starts = nstarts
             for r in pending_rm:
                 self.seq_rm(r.seq)
         return {rid: r.out for rid, r in self.requests.items()}

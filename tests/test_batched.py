@@ -503,3 +503,35 @@ def test_run_pipelined_eos_discard_and_cell_reuse(tiny):
     rid2 = be.add_request([7, 2], 6, temp=0.0)
     be.run_pipelined(3)
     assert len(be.requests[rid2].out) == 6
+
+def test_chunked_ctx_edge_keeps_valid_tokens(tiny):
+    """A chunk that lands exactly at the arena edge must keep its valid
+    tokens: the retire loops check each token's own feed position, not
+    the already-advanced r.pos (which spuriously discarded up to 2k-1
+    tokens at the boundary)."""
+    cfg, params = tiny
+    prompt = [5, 9, 3]
+    n_ctx = 24                       # room for 3 + 17 fed tokens
+    ref = BatchedEngine(gpt2, cfg, params, compute_dtype=jnp.float32,
+                        kv_dtype=jnp.float32, on_device_sampling=True,
+                        n_ctx=n_ctx)
+    r0 = ref.add_request(prompt, 100, temp=0.0)
+    while ref.step():
+        pass
+    want = ref.requests[r0].out
+    assert len(want) > 8             # the run is genuinely ctx-bounded
+
+    ck = BatchedEngine(gpt2, cfg, params, compute_dtype=jnp.float32,
+                       kv_dtype=jnp.float32, on_device_sampling=True,
+                       n_ctx=n_ctx)
+    r1 = ck.add_request(prompt, 100, temp=0.0)
+    while ck.step_chunk(8):
+        pass
+    assert ck.requests[r1].out == want, (ck.requests[r1].out, want)
+
+    pp = BatchedEngine(gpt2, cfg, params, compute_dtype=jnp.float32,
+                       kv_dtype=jnp.float32, on_device_sampling=True,
+                       n_ctx=n_ctx)
+    r2 = pp.add_request(prompt, 100, temp=0.0)
+    outs = pp.run_pipelined(8)
+    assert outs[r2] == want, (outs[r2], want)

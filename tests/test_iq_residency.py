@@ -93,3 +93,31 @@ def test_iq_repack_passthrough():
     assert out.interleaved_bk == 0 and out.lut is not None
     np.testing.assert_array_equal(dequantize_qtensor(out),
                                   dequantize_qtensor(qt))
+
+def test_iq_concat_and_pad_carry_codebook_fields():
+    """concat_qtensors / pad_qtensor_cols / pad_qtensor_rows must carry
+    lut+signs (the fused-model prep paths route IQ weights through them;
+    dropping lut silently decoded codebook indices as affine values)."""
+    from ggml_imax_tpu.quant.device import (concat_qtensors,
+                                            pad_qtensor_cols,
+                                            pad_qtensor_rows)
+    k, n = 512, 8
+    for t in (GGMLType.IQ3_S, GGMLType.IQ2_S):
+        a = to_device_format(_encode(t, k, n, seed=3), t, (k, n))
+        b = to_device_format(_encode(t, k, n, seed=4), t, (k, n))
+        cat = concat_qtensors([a, b])
+        want = np.concatenate([dequantize_qtensor(a), dequantize_qtensor(b)],
+                              axis=1)
+        np.testing.assert_array_equal(dequantize_qtensor(cat), want)
+
+        padded, npad = pad_qtensor_cols(a, multiple=128)
+        assert npad == 120
+        w = dequantize_qtensor(padded)
+        np.testing.assert_array_equal(w[:, :n], dequantize_qtensor(a))
+        assert (w[:, n:] == 0).all()
+
+        rpad, kpad = pad_qtensor_rows(a, multiple=1024)
+        assert kpad == 512
+        w = dequantize_qtensor(rpad)
+        np.testing.assert_array_equal(w[:k], dequantize_qtensor(a))
+        assert (w[k:] == 0).all()

@@ -15,11 +15,13 @@ from ggml_imax_tpu.quant.formats import GGMLType
 
 
 @pytest.mark.parametrize("t", [GGMLType.Q4_0, GGMLType.Q8_0, GGMLType.Q4_K,
-                               GGMLType.F32])
+                               GGMLType.F32, GGMLType.IQ3_S,
+                               GGMLType.IQ2_S])
 def test_sharded_load_matches_full(tmp_path, rng, t):
     k, n = 256, 32
     x = rng.standard_normal((n, k)).astype(np.float32)   # ggml rows along N
-    raw = codecs.quantize(x, t)
+    from ggml_imax_tpu.quant.imatrix import quantize_rows
+    raw = quantize_rows(x, t)       # routes IQ codebook formats natively
     p = tmp_path / "w.gguf"
     w = GGUFWriter(p)
     w.add_tensor("w", raw, t, shape=(k, n))
@@ -34,6 +36,13 @@ def test_sharded_load_matches_full(tmp_path, rng, t):
         if full.scale is not None:
             np.testing.assert_array_equal(np.asarray(qt.scale),
                                           np.asarray(full.scale))
+        # codebook kinds: LUT carried, sign bitplane sharded like q
+        if full.signs is not None:
+            np.testing.assert_array_equal(np.asarray(qt.signs),
+                                          np.asarray(full.signs))
+        if full.lut is not None:
+            np.testing.assert_array_equal(np.asarray(qt.lut),
+                                          np.asarray(full.lut))
         # sharding actually applied along N
         assert len(qt.q.sharding.device_set) == 4
         np.testing.assert_allclose(dequantize_qtensor(qt),

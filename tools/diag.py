@@ -66,8 +66,11 @@ def staged_params(cfg, fuse=("qkv",)):
                               n=h.n + vpad)
         params["lmh_b"] = jnp.pad(params["lmh_b"], (0, vpad),
                                   constant_values=-1e30)
-    sdt = {"bf16": jnp.bfloat16, "f32": None}.get(
-        os.environ.get("GGML_W4A8_SCALE_DTYPE", "bf16"), jnp.bfloat16)
+    _sdt_env = os.environ.get("GGML_W4A8_SCALE_DTYPE", "bf16")
+    _sdts = {"bf16": jnp.bfloat16, "f32": None}
+    assert _sdt_env in _sdts, \
+        f"GGML_W4A8_SCALE_DTYPE must be bf16|f32, got {_sdt_env!r}"
+    sdt = _sdts[_sdt_env]
     params = params_repack_device(params, scale_dtype=sdt)
     jax.block_until_ready(params)
     return params

@@ -158,6 +158,8 @@ def main():
     qmd.write_text(txt + section)
     print(section)
     print(f"updated {qmd}")
+    if not all_pass:
+        sys.exit("kernel-path KL gate FAILED for at least one format")
 
 
 if __name__ == "__main__":
