@@ -300,6 +300,8 @@ def main():
             # headline natpair W4A8 path, Q4_K = LLaMA's natpair-affine
             # path, Q5_0 = Whisper's nat8 W8A8 path (VERDICT r04 next #5)
             suffix = "" if t == GGMLType.Q4_0 else f"_{t.name}"
+            if args.geometry == "mid":      # don't clobber the small-
+                suffix += "_mid"            # geometry rows' bundles
             np_path = Path(__file__).resolve().parents[1] / ".jax_cache" / \
                 f"qgate_tpu_ref{suffix}.npz"
             toks1 = jnp.asarray(heldout[:CTX])[None]
