@@ -204,18 +204,20 @@ def main():
 
     global VOCAB, SUCC_PROBS
     if args.geometry == "mid":
-        # 117M-scale proxy on a harder language (512-token vocab, 8
-        # successors/context) so format deltas aren't dominated by a toy
-        # model's flat loss landscape
-        VOCAB = 512
+        # 117M-scale proxy on a wider language (128-token vocab, 8
+        # successors/context). NOT 512: r04 (and an r05 retrain at a
+        # conventional 6e-4 lr) sat exactly at the uniform-PPL plateau —
+        # an order-2 table over 512² = 262k random contexts gives ~6
+        # corpus occurrences per context and NO exploitable marginal
+        # structure (successors are uniform over the vocab), so the task
+        # is pure sparse memorization and the loss never moves. 128²=16k
+        # contexts ≈ 94 occurrences each is learnable at this scale while
+        # still exercising every 117M-geometry weight.
+        VOCAB = 128
         SUCC_PROBS = np.array(
             [0.35, 0.2, 0.15, 0.1, 0.08, 0.06, 0.04, 0.02])
         cfg = gpt2.GPT2Config(n_vocab=VOCAB, n_ctx=CTX, n_embd=768,
                               n_head=12, n_layer=12)
-        # r04's mid run used the small geometry's 5e-3 peak lr: the 117M
-        # proxy never left the uniform-PPL plateau (F32 ppl 514.5 vs
-        # uniform 512 in the r04 table — the format deltas were noise).
-        # 117M at 2k tokens/step needs a conventional lr and more steps.
         steps = args.steps or 3000
         peak_lr = 6e-4
     else:
