@@ -72,6 +72,18 @@ NOISE_TOL = 0.01
 # structure left to lose under quantization
 SUCC_PROBS = np.array([0.6, 0.25, 0.1, 0.05])
 
+# successor-TOKEN distribution: None = uniform over the vocab (the small
+# geometry's language). The mid geometry sets a Zipf(1) vector instead —
+# with uniform successor draws the token marginals carry no structure at
+# all, so learning the language is pure sparse memorization of VOCAB²
+# context tables and a 117M model sits at the uniform-PPL plateau for
+# thousands of steps (measured r05: 12L/768E flat at uniform for 3000
+# steps at both 512- and 128-token vocabs). Zipf-drawn successors give the
+# language graded structure (unigram ≪ uniform, order-2 below that), so
+# the loss moves from step ~100 and the format deltas measure a model
+# that actually predicts.
+SUCC_ZIPF = None
+
 
 def markov_corpus(n_tokens: int, seed: int = 0) -> np.ndarray:
     """Order-2 sparse Markov language: each (a, b) context allows
@@ -81,7 +93,10 @@ def markov_corpus(n_tokens: int, seed: int = 0) -> np.ndarray:
     trajectory. Ideal PPL = exp(H); uniform = VOCAB."""
     ns = len(SUCC_PROBS)
     lang = np.random.default_rng(0)
-    succ = lang.integers(0, VOCAB, size=(VOCAB, VOCAB, ns))
+    if SUCC_ZIPF is None:
+        succ = lang.integers(0, VOCAB, size=(VOCAB, VOCAB, ns))
+    else:
+        succ = lang.choice(VOCAB, size=(VOCAB, VOCAB, ns), p=SUCC_ZIPF)
     rng = np.random.default_rng(seed + 1)
     toks = np.empty(n_tokens, np.int64)
     toks[0], toks[1] = rng.integers(0, VOCAB), rng.integers(0, VOCAB)
@@ -89,6 +104,33 @@ def markov_corpus(n_tokens: int, seed: int = 0) -> np.ndarray:
     for i in range(2, n_tokens):
         toks[i] = succ[toks[i - 2], toks[i - 1], choices[i]]
     return toks.astype(np.int32)
+
+
+def language_baselines(heldout: np.ndarray) -> tuple[float, float]:
+    """(unigram PPL, oracle PPL) of the pinned language on this corpus.
+
+    Unigram = corpus cross-entropy under its own token-frequency fit (the
+    best any context-free predictor can do); oracle = the true per-context
+    successor distribution (duplicate draws merged). A trained proxy should
+    land between them; at/above uniform (=VOCAB) it learned nothing and the
+    format deltas are noise."""
+    ns = len(SUCC_PROBS)
+    lang = np.random.default_rng(0)
+    if SUCC_ZIPF is None:
+        succ = lang.integers(0, VOCAB, size=(VOCAB, VOCAB, ns))
+    else:
+        succ = lang.choice(VOCAB, size=(VOCAB, VOCAB, ns), p=SUCC_ZIPF)
+    cnt = np.bincount(heldout, minlength=VOCAB).astype(np.float64)
+    p = cnt / cnt.sum()
+    nz = p > 0
+    unigram_ppl = math.exp(-(p[nz] * np.log(p[nz])).sum())
+    tbl = np.zeros((VOCAB, VOCAB, VOCAB))
+    A, B = np.meshgrid(np.arange(VOCAB), np.arange(VOCAB), indexing="ij")
+    for i in range(ns):
+        np.add.at(tbl, (A, B, succ[:, :, i]), SUCC_PROBS[i])
+    p_next = tbl[heldout[:-2], heldout[1:-1], heldout[2:]]
+    oracle_ppl = math.exp(-float(np.log(p_next).mean()))
+    return unigram_ppl, oracle_ppl
 
 
 def train_model(cfg, steps: int, seed: int = 0, peak_lr: float = 5e-3):
@@ -202,20 +244,23 @@ def main():
                     help="train + pickle the proxy model, skip the evals")
     args = ap.parse_args()
 
-    global VOCAB, SUCC_PROBS
+    global VOCAB, SUCC_PROBS, SUCC_ZIPF
     if args.geometry == "mid":
         # 117M-scale proxy on a wider language (128-token vocab, 8
-        # successors/context). NOT 512: r04 (and an r05 retrain at a
-        # conventional 6e-4 lr) sat exactly at the uniform-PPL plateau —
-        # an order-2 table over 512² = 262k random contexts gives ~6
-        # corpus occurrences per context and NO exploitable marginal
-        # structure (successors are uniform over the vocab), so the task
-        # is pure sparse memorization and the loss never moves. 128²=16k
-        # contexts ≈ 94 occurrences each is learnable at this scale while
-        # still exercising every 117M-geometry weight.
+        # successors/context, Zipf-drawn successor tokens). NOT 512: r04
+        # (and an r05 retrain at a conventional 6e-4 lr) sat exactly at
+        # the uniform-PPL plateau — an order-2 table over 512² = 262k
+        # random contexts gives ~6 corpus occurrences per context and NO
+        # exploitable marginal structure, so the task is pure sparse
+        # memorization and the loss never moves. 128²=16k contexts ≈ 94
+        # occurrences each plus Zipf marginals (see SUCC_ZIPF) give the
+        # model a gradient at every scale while still exercising every
+        # 117M-geometry weight.
         VOCAB = 128
         SUCC_PROBS = np.array(
             [0.35, 0.2, 0.15, 0.1, 0.08, 0.06, 0.04, 0.02])
+        zipf = 1.0 / np.arange(1, VOCAB + 1)
+        SUCC_ZIPF = zipf / zipf.sum()
         cfg = gpt2.GPT2Config(n_vocab=VOCAB, n_ctx=CTX, n_embd=768,
                               n_head=12, n_layer=12)
         steps = args.steps or 3000
@@ -227,12 +272,22 @@ def main():
         steps = args.steps or (60 if args.fast else 1500)
         peak_lr = 5e-3
 
+    # cache key must name the LANGUAGE too (vocab + marginal shape), not
+    # just the geometry — r05 found a vocab-128 eval silently loading
+    # vocab-512-trained params and scoring 512-way logits on a 128-token
+    # corpus (PPL 4× above uniform)
+    lang_tag = f"V{VOCAB}" + ("z" if SUCC_ZIPF is not None else "")
     cache_f = Path(__file__).resolve().parents[1] / ".jax_cache" / \
-        f"qgate_params_{cfg.n_layer}L{cfg.n_embd}E_{steps}.pkl"
+        f"qgate_params_{cfg.n_layer}L{cfg.n_embd}E_{lang_tag}_{steps}.pkl"
     if cache_f.exists() and not args.retrain:
         import pickle
         print(f"# loading trained params from {cache_f}", file=sys.stderr)
         params = pickle.loads(cache_f.read_bytes())
+        wte = params["wte"]
+        got_v = np.asarray(getattr(wte, "q", wte)).shape[-1]
+        if got_v != cfg.n_vocab:   # belt-and-braces vs a stale pickle
+            raise SystemExit(f"{cache_f}: wte vocab {got_v} != cfg "
+                             f"{cfg.n_vocab}; delete it or --retrain")
     else:
         print(f"# training {cfg.n_layer}L/{cfg.n_embd}E model, {steps} steps",
               file=sys.stderr)
@@ -335,8 +390,11 @@ def main():
             "deterministic seeds; CPU float semantics).\n\n"
             f"Proxy model: GPT-2 geometry {cfg.n_layer}L x {cfg.n_embd}E x "
             f"{cfg.n_head}H, vocab {VOCAB}, trained {steps} steps on an "
-            "order-2 sparse Markov language (no real checkpoints are "
-            "obtainable in this sandbox — see the script docstring). "
+            "order-2 sparse Markov language"
+            + (" with Zipf-skewed successor marginals"
+               if SUCC_ZIPF is not None else "")
+            + " (no real checkpoints are obtainable in this sandbox — see "
+            "the script docstring). "
             f"Held-out corpus: {len(heldout)} tokens, scoring window "
             f"{CTX} (llama.cpp convention).\n\n"
             "Weight distortion is identical to ggml by construction (all "
@@ -360,12 +418,19 @@ def main():
                     f"{sims[k]:+.4f} -> **{'PASS' if ok else 'FAIL'}** "
                     f"(gate: ours <= ggml's gap + {NOISE_TOL} path-noise "
                     "floor, at the same weights)\n")
-        ppl_gap = ppl_f32 / VOCAB
-        if ppl_gap < 0.9:
-            f.write("\nUniform-random PPL for this vocabulary is "
-                    f"{VOCAB}; the trained model's F32 PPL above shows the "
-                    "model carries real structure, so the deltas are "
-                    "meaningful.\n")
+        uni_ppl, oracle_ppl = language_baselines(heldout)
+        f.write(f"\nLanguage baselines on this held-out corpus: uniform PPL "
+                f"{VOCAB}, best context-free (unigram) PPL {uni_ppl:.1f}, "
+                f"oracle (true transition table) PPL {oracle_ppl:.1f}.\n")
+        if ppl_f32 < 0.9 * min(VOCAB, uni_ppl):
+            f.write(f"The trained model's F32 PPL of {ppl_f32:.1f} is below "
+                    "the context-free bound — it learned real transition "
+                    "structure, so the format deltas are meaningful.\n")
+        elif ppl_f32 < 0.9 * VOCAB:
+            f.write(f"The trained model's F32 PPL of {ppl_f32:.1f} beats "
+                    "uniform but not the context-free bound — it has only "
+                    "learned token marginals; treat the deltas as "
+                    "coarse.\n")
         else:
             f.write("\n**WARNING**: the proxy's F32 PPL is within 10% of "
                     f"the uniform baseline ({VOCAB}) — the model carries "
