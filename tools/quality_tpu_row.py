@@ -51,8 +51,10 @@ KERNEL_NOTE = {
 }
 
 
-def run_row(fmt: str):
+def run_row(fmt: str, mid: bool = False):
     suffix = "" if fmt == "Q4_0" else f"_{fmt}"
+    if mid:           # bundles from quality_gate.py --geometry mid (117M)
+        suffix += "_mid"
     bundle = root / ".jax_cache" / f"qgate_tpu_ref{suffix}.npz"
     if not bundle.exists():
         print(f"# {fmt}: no bundle at {bundle} — run tools/quality_gate.py",
@@ -116,11 +118,13 @@ def run_row(fmt: str):
 
 
 def main():
-    fmts = sys.argv[1:] or ["Q4_0", "Q4_K", "Q5_0"]
+    mid = "--mid" in sys.argv
+    fmts = [a for a in sys.argv[1:] if not a.startswith("--")] \
+        or ["Q4_0", "Q4_K", "Q5_0"]
     rows, all_pass = [], True
     ppl_bf16 = None
     for fmt in fmts:
-        r = run_row(fmt)
+        r = run_row(fmt, mid=mid)
         if r is None:
             continue
         ppl, kl, ppl_bf16 = r
@@ -150,7 +154,7 @@ def main():
         f"- window PPLs vs bf16-baseline full-corpus PPL {ppl_bf16:.4f} "
         "(different estimator supports, shown for scale)\n")
 
-    qmd = root / "docs" / "QUALITY.md"
+    qmd = root / "docs" / ("QUALITY_117M.md" if mid else "QUALITY.md")
     txt = qmd.read_text()
     for marker in ("\n## TPU kernel-path row", "\n## TPU kernel-path rows"):
         if marker in txt:

@@ -36,12 +36,18 @@ stage() {
     whisper_m)      run whisper_m 2400 python tools/bench_models.py whisper-medium-q5_0 ;;
     whisper_rtf)    run whisper_rtf 2400 python tools/bench_models.py whisper-small-rtf ;;
     qrow)           run qrow 3600 python -u tools/quality_tpu_row.py ;;
+    qrow_mid)       run qrow_mid 3600 python -u tools/quality_tpu_row.py --mid ;;
     serve)          run serve 3500 python examples/serve.py --bench -np 8 ;;
     serve_steady)   run serve_steady 3500 python examples/serve.py --bench -np 8 --n_predict 256 --steady ;;
     prefill_diag)   run prefill_diag 3600 python -u tools/diag_prefill.py ;;
     decode_diag)    run decode_diag 3500 python -u tools/diag_stacked_combo.py 28 512 neither,noelem,twostep ;;
     qmm)            run qmm 2400 python -u tools/bench_qmm_variants.py -r 30 -f "rowpair|ceiling|w4a8|production" ;;
     hbm)            run hbm 1200 python -u tools/bench_hbm.py ;;
+    gpt2)           run gpt2_117m 2400 python tools/bench_models.py gpt2-117m-q4_0
+                    run gpt2_1558m_q8 2400 python tools/bench_models.py gpt2-1558m-q8_0
+                    run gpt2_1558m_q5k 2400 python tools/bench_models.py gpt2-1558m-q5_k ;;
+    batch)          run batch4 2400 python -u bench.py --batch=4
+                    run batch8 2400 python -u bench.py --batch=8 --kv=q8_0 ;;
     qgate_mid_train) GGML_QGATE_PLATFORM=default run qgate_mid_train 3600 \
                        python tools/quality_gate.py --geometry mid --train-only ;;
     # train the proxy ON the chip (CPU-infeasible), but eval on CPU — the
