@@ -64,6 +64,10 @@ def set_variant(name):
     if name == "noelem":
         gptj.layer_norm = lambda x, g, b: x
         gptj.rope = lambda x, pos, **kw: x
+    if name == "noln":        # splits the noelem delta: LN share only
+        gptj.layer_norm = lambda x, g, b: x
+    if name == "norope":      # ... and the rope share only
+        gptj.rope = lambda x, pos, **kw: x
     if name == "nolmh":
         gptj.qmatmul = lambda x, qt, **kw: \
             jnp.zeros(x.shape[:-1] + (qt.n,), jnp.float32)
@@ -135,7 +139,9 @@ def main():
     results = {}
     for nl in NLS:
         cfg, params = stage(nl)
-        for name in ("full", "noattn", "noelem", "nolmh"):
+        variants = os.environ.get(
+            "GGML_PREFILL_VARIANTS", "full,noattn,noelem,nolmh").split(",")
+        for name in variants:
             results[(nl, name)] = run(cfg, params, name)
         if nl == max(NLS):
             for bm in BMS:
@@ -147,7 +153,10 @@ def main():
                     pq.DEFAULT_BM = 512
         del params
 
-    if len(NLS) == 2:
+    def have(*names):
+        return all((max(NLS), n) in results for n in names)
+
+    if len(NLS) == 2 and have("full", "nolmh"):
         a, b = sorted(NLS)
         fa, fb = results[(a, "full")], results[(b, "full")]
         per_layer = (fb - fa) / (b - a)
@@ -156,10 +165,17 @@ def main():
               f"{fixed*1e3:.2f} ms (incl. lm head "
               f"{(results[(b, 'full')] - results[(b, 'nolmh')])*1e3:.2f} ms)")
     nl = max(NLS)
+    if not have("full"):
+        return
     full = results[(nl, "full")]
-    print(f"attention share: "
-          f"{(full - results[(nl, 'noattn')])*1e3:.2f} ms; elementwise: "
-          f"{(results[(nl, 'noattn')] - results[(nl, 'noelem')])*1e3:.2f} ms")
+    if have("noattn", "noelem"):
+        print(f"attention share: "
+              f"{(full - results[(nl, 'noattn')])*1e3:.2f} ms; elementwise: "
+              f"{(results[(nl, 'noattn')] - results[(nl, 'noelem')])*1e3:.2f} ms")
+    if have("noln"):
+        print(f"LN share: {(full - results[(nl, 'noln')])*1e3:.2f} ms")
+    if have("norope"):
+        print(f"rope share: {(full - results[(nl, 'norope')])*1e3:.2f} ms")
     mfu = flops(nl) / full / 197e12
     print(f"analytic FLOPs {flops(nl)/1e12:.2f} TF -> MFU "
           f"{mfu:.1%} of 197 TFLOP/s bf16 peak")
