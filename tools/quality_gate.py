@@ -383,6 +383,14 @@ def main():
 
     out = Path(__file__).resolve().parents[1] / "docs" / (
         "QUALITY_117M.md" if args.geometry == "mid" else "QUALITY.md")
+    # keep the on-chip kernel-path section (appended by quality_tpu_row.py)
+    # across CPU-table regenerations — those rows cost real chip time
+    tpu_rows = ""
+    if out.exists():
+        old = out.read_text()
+        marker = "\n## TPU kernel-path row"
+        if marker in old:
+            tpu_rows = old[old.index(marker):]
     with open(out, "w") as f:
         f.write(
             "# Quantization quality gate — whole-model PPL delta / logits KL\n\n"
@@ -437,6 +445,7 @@ def main():
                     "little structure and the format deltas above are "
                     "noise-dominated. Retrain with more steps / a lower "
                     "peak lr before citing this table.\n")
+        f.write(tpu_rows)
     print(f"wrote {out}")
 
 
