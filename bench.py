@@ -82,6 +82,11 @@ def main():
             print(f"# scales stored {jnp.dtype(sdt).name}", file=sys.stderr)
         if stacked:
             os.environ.setdefault("GGML_FUSE_FF", "1")
+        if os.environ.get("GGML_ROPE_SPLIT", "1") == "1":
+            # split-half rope layout: q/k columns permuted once at load so
+            # the rotation is two contiguous half-block FMAs (no lane
+            # interleave); GGML_ROPE_SPLIT=0 keeps the interleaved A/B
+            params = gptj.split_rope_prep(params, cfg)
         params = gptj.fuse_qkv(params)     # 1 GEMV for q/k/v (+fc_in) per layer
         if stacked:
             params = gptj.fuse_out(params)  # 1 GEMV for o_proj+fc_out

@@ -18,7 +18,7 @@ from ..ops.embedding import get_rows
 from ..ops.norms import layer_norm
 from ..parallel.sharding import constrain_heads
 from ..ops.qmatmul import qmatmul
-from ..ops.rope import rope
+from ..ops.rope import rope, rope_split
 from ..quant.device import to_device_format, quantize_for_device
 from ..quant.formats import GGMLType
 from ..tokenizer.bpe import GreedyBPETokenizer
@@ -242,6 +242,36 @@ def fuse_qkv(params):
     return out
 
 
+def split_rope_prep(params, cfg: GPTJConfig):
+    """Permute each layer's q/k projection columns so interleaved rope
+    pairs (2i, 2i+1) land at split halves (i, D/2+i), and mark the params
+    (`rope_split` key) so forward() applies ops.rope.rope_split — the
+    rotation becomes two contiguous half-block FMAs with no lane
+    interleave (measured r05: the interleaved apply was the largest
+    single elementwise cost of the prefill pass, docs/PREFILL_BREAKDOWN).
+
+    EXACT: attention scores are invariant to a consistent permutation of
+    q and k head dims, v/o are untouched, and quantized column
+    permutation never crosses a K-block (quant.device.permute_qtensor_cols)
+    — logits match the unpermuted model bit-for-bit up to dot-order
+    reassociation. Call BEFORE fuse_qkv / params_repack_device."""
+    from ..ops.rope import split_rope_permutation
+    from ..quant.device import permute_qtensor_cols
+    D, H = cfg.head_dim, cfg.n_head
+    perm = (np.arange(H)[:, None] * D +
+            split_rope_permutation(D)[None, :]).reshape(-1)
+    out = dict(params)
+    out["layers"] = []
+    for lp in params["layers"]:
+        lp = dict(lp)
+        assert "q_w" in lp and "k_w" in lp, "split_rope_prep before fuse_qkv"
+        lp["q_w"] = permute_qtensor_cols(lp["q_w"], perm)
+        lp["k_w"] = permute_qtensor_cols(lp["k_w"], perm)
+        out["layers"].append(lp)
+    out["rope_split"] = None    # empty pytree subtree = static marker
+    return out
+
+
 def pad_lm_head(params, multiple: int | None = None):
     """Pad lmh_w's vocab dim so the LM head takes the fused Pallas path
     (qmatmul's `n % 128` gate — GPT-J's 50400 otherwise silently falls back
@@ -272,10 +302,14 @@ def pad_lm_head(params, multiple: int | None = None):
 
 
 def prepare_fused(params, cfg=None):
-    """One-call decode fast-path prep: fuse_qkv (+GGML_FUSE_FF) + LM-head
-    vocab padding. The Engine's residency="q4-fused" and bench.py both use
-    this, so the public API reproduces the headline-bench graph. Call
-    BEFORE params_repack_device."""
+    """One-call decode fast-path prep: split-half rope layout (when cfg is
+    given) + fuse_qkv (+GGML_FUSE_FF) + LM-head vocab padding. The
+    Engine's residency="q4-fused" and bench.py both use this, so the
+    public API reproduces the headline-bench graph. Call BEFORE
+    params_repack_device. GGML_ROPE_SPLIT=0 keeps the interleaved rope
+    for A/B."""
+    if cfg is not None and os.environ.get("GGML_ROPE_SPLIT", "1") == "1":
+        params = split_rope_prep(params, cfg)
     return pad_lm_head(fuse_qkv(params))
 
 
@@ -334,6 +368,13 @@ def _forward_stacked(cfg: GPTJConfig, params, tokens, positions, cache,
     path = select_decode_path(T=T, B=B, D=D, cells=cells, cache=cache,
                               cells_kernel=cells_kernel, mask=mask)
 
+    # split-half rope layout (split_rope_prep): structural marker, static
+    # under jit — the q/k columns were permuted at load
+    if "rope_split" in params:
+        _rope = lambda v: rope_split(v, positions, n_dims=cfg.n_rot)
+    else:
+        _rope = lambda v: rope(v, positions, n_dims=cfg.n_rot, mode=0)
+
     def body(carry, xs):
         x, cache = carry
         li, sm = xs
@@ -347,8 +388,8 @@ def _forward_stacked(cfg: GPTJConfig, params, tokens, positions, cache,
         else:
             qkv = qmatmul_stacked(cur, qts["qkv_w"], li).reshape(B, T, 3, H, D)
             q, kk, vv = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        q = rope(q, positions, n_dims=cfg.n_rot, mode=0)
-        kk = rope(kk, positions, n_dims=cfg.n_rot, mode=0)
+        q = _rope(q)
+        kk = _rope(kk)
         if path == "cells":
             attn, cache2 = decode_attention_update_cells(
                 cache, li, q.reshape(T, 1, H, D), kk.reshape(T, 1, H, D),
@@ -422,6 +463,11 @@ def forward(cfg: GPTJConfig, params, tokens, positions, cache: KVCache, n_past,
     if mask is None:
         mask = attention_mask(positions, cache.n_ctx, n_past)
 
+    if "rope_split" in params:      # split_rope_prep layout (static)
+        _rope = lambda v: rope_split(v, positions, n_dims=cfg.n_rot)
+    else:
+        _rope = lambda v: rope(v, positions, n_dims=cfg.n_rot, mode=0)
+
     for li, lp in enumerate(params["layers"]):
         cur = layer_norm(x, lp["ln_1_g"], lp["ln_1_b"])
         ff_pre = None
@@ -441,8 +487,8 @@ def forward(cfg: GPTJConfig, params, tokens, positions, cache: KVCache, n_past,
             q = constrain_heads(mm(cur, lp["q_w"]).reshape(B, T, H, D))
             kk = constrain_heads(mm(cur, lp["k_w"]).reshape(B, T, H, D))
             vv = constrain_heads(mm(cur, lp["v_w"]).reshape(B, T, H, D))
-        q = rope(q, positions, n_dims=cfg.n_rot, mode=0)
-        kk = rope(kk, positions, n_dims=cfg.n_rot, mode=0)
+        q = _rope(q)
+        kk = _rope(kk)
 
         if cells is None:
             cache = update_kv(cache, li, kk, vv, n_past)

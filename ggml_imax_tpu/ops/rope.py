@@ -105,6 +105,22 @@ def rope(x, pos, n_dims: int | None = None, mode: int = ROPE_MODE_NORMAL, *,
 
     # normal (interleaved) mode: pairs (2i, 2i+1) over the FULL head dim, with
     # theta exponent i and YaRN ramp index 2i (= i0)
+    cos_t, sin_t, zeta = _normal_tables(
+        p, D, theta_scale, corr_lo, corr_hi, ext_factor, attn_factor,
+        sin_sign, freq_scale, xpos_base, xpos_down)
+    x_pairs = xf.reshape(*xf.shape[:-1], D // 2, 2)
+    x0 = x_pairs[..., 0]
+    x1 = x_pairs[..., 1]
+    r0 = x0 * cos_t * zeta - x1 * sin_t * zeta
+    r1 = x0 * sin_t * zeta + x1 * cos_t * zeta
+    out = jnp.stack([r0, r1], axis=-1).reshape(xf.shape)
+    return out.astype(orig_dtype)
+
+
+def _normal_tables(p, D, theta_scale, corr_lo, corr_hi, ext_factor,
+                   attn_factor, sin_sign, freq_scale, xpos_base, xpos_down):
+    """(cos, sin, zeta) for normal-mode pair i — shared by the interleaved
+    and the split-half (permuted-weight) applications."""
     i = jnp.arange(D // 2, dtype=jnp.float32)
     theta_extrap = p * theta_scale ** i
     ramp_idx = 2.0 * i
@@ -117,10 +133,55 @@ def rope(x, pos, n_dims: int | None = None, mode: int = ROPE_MODE_NORMAL, *,
             zeta = 1.0 / zeta
     else:
         zeta = 1.0
-    x_pairs = xf.reshape(*xf.shape[:-1], D // 2, 2)
-    x0 = x_pairs[..., 0]
-    x1 = x_pairs[..., 1]
-    r0 = x0 * cos_t * zeta - x1 * sin_t * zeta
-    r1 = x0 * sin_t * zeta + x1 * cos_t * zeta
-    out = jnp.stack([r0, r1], axis=-1).reshape(xf.shape)
+    return cos_t, sin_t, zeta
+
+
+def rope_split(x, pos, n_dims: int | None = None, *,
+               freq_base: float = 10000.0, freq_scale: float = 1.0,
+               ext_factor: float = 0.0, attn_factor: float = 1.0,
+               beta_fast: float = 32.0, beta_slow: float = 1.0,
+               n_orig_ctx: int = 0, n_ctx: int = 0,
+               xpos_base: float = 0.0, xpos_down: bool = False,
+               forward: bool = True):
+    """Normal-mode RoPE on SPLIT-HALF data: pair i of the interleaved
+    layout lives at lanes (i, D/2 + i) instead of (2i, 2i+1).
+
+    Mathematically identical to `rope(..., mode=0)` under the per-head
+    column permutation P: P(rope(x)) == rope_split(P(x)) — attention
+    scores are invariant to permuting q and k consistently, so permuting
+    the q/k projection columns once at load (split_rope_permutation) lets
+    the hot path rotate two CONTIGUOUS half-blocks (4 mul + 2 add, no
+    lane interleave) instead of de/re-interleaving 128 lane pairs, which
+    Mosaic/XLA realize as strided lane shuffles. Same tables, including
+    the reference quirk of rotating ALL D/2 pairs past n_dims
+    (ggml_rope_cache_init /root/reference/src/ggml.c:13750-13763 fills
+    theta over the full ne0)."""
+    D = x.shape[-1]
+    n_dims = n_dims or D
+    assert n_dims % 2 == 0
+    n_orig_ctx = n_orig_ctx or n_ctx or 2048
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    p = pos.astype(jnp.float32)[..., None, None]
+    sin_sign = 1.0 if forward else -1.0
+    theta_scale = freq_base ** (-2.0 / n_dims)
+    corr_lo, corr_hi = yarn_corr_dims(n_dims, n_orig_ctx, freq_base,
+                                      beta_fast, beta_slow)
+    cos_t, sin_t, zeta = _normal_tables(
+        p, D, theta_scale, corr_lo, corr_hi, ext_factor, attn_factor,
+        sin_sign, freq_scale, xpos_base, xpos_down)
+    x0 = xf[..., : D // 2]
+    x1 = xf[..., D // 2:]
+    # same op association as rope()'s interleaved application so the two
+    # paths are bit-identical under the permutation
+    out = jnp.concatenate([x0 * cos_t * zeta - x1 * sin_t * zeta,
+                           x0 * sin_t * zeta + x1 * cos_t * zeta],
+                          axis=-1)
     return out.astype(orig_dtype)
+
+
+def split_rope_permutation(D: int) -> np.ndarray:
+    """Column permutation taking interleaved pairs to split halves within
+    one head: source column for target t is 2t (t < D/2) or 2(t-D/2)+1."""
+    t = np.arange(D)
+    return np.where(t < D // 2, 2 * t, 2 * (t - D // 2) + 1)

@@ -528,6 +528,26 @@ def concat_qtensors(qts: list, axis_n: bool = True) -> QTensor:
                    lut=a.lut, signs=signs)
 
 
+def permute_qtensor_cols(qt: QTensor, perm) -> QTensor:
+    """Reorder a natural-layout QTensor's output (N) columns by `perm`
+    (out column t = old column perm[t]). EXACT for every format: quant
+    blocks run along K, so whole-column permutation never crosses a
+    block — q/scale/bias/signs all just gather on their last axis. Used
+    by the GPT-J split-half rope layout (models/gptj.split_rope_prep)."""
+    import jax.numpy as jnp
+    assert qt.interleaved_bk == 0 and qt.n_stack == 0, \
+        "permute before repacking/stacking"
+    perm = np.asarray(perm)
+    assert perm.shape == (qt.n,)
+    take = (lambda a: a[..., jnp.asarray(perm)]) \
+        if hasattr(qt.q, "devices") else (lambda a: np.asarray(a)[..., perm])
+    return replace(
+        qt, q=take(qt.q),
+        scale=None if qt.scale is None else take(qt.scale),
+        bias=None if qt.bias is None else take(qt.bias),
+        signs=None if qt.signs is None else take(qt.signs))
+
+
 def pad_qtensor_cols(qt: QTensor, multiple: int = 128) -> tuple[QTensor, int]:
     """Zero-pad a natural-layout QTensor's output (N) dim up to a multiple.
 

@@ -86,7 +86,7 @@ class BatchedEngine:
             # path (cell masks need the full (T, n_ctx) mask form).
             from ..ops.pallas_qmm import params_repack_device
             if hasattr(model_module, "prepare_fused"):
-                params = model_module.prepare_fused(params)
+                params = model_module.prepare_fused(params, cfg)
             params = params_repack_device(params)
             params = model_module.stack_model(params)
         self._stacked = stacked

@@ -67,7 +67,7 @@ class Engine:
                 # fuse_qkv + LM-head vocab pad: the full headline-bench
                 # fast path (VERDICT r02 weak #4 — the public API must
                 # reproduce bench.py's graph, incl. the n%128 kernel gate)
-                params = model_module.prepare_fused(params)
+                params = model_module.prepare_fused(params, cfg)
             elif hasattr(model_module, "fuse_qkv"):
                 params = model_module.fuse_qkv(params)
             params = params_repack_device(params)

@@ -123,6 +123,64 @@ def test_stacked_forward_matches_unstacked():
                                rtol=0, atol=0.25)
 
 
+def test_split_rope_stacked_matches_baseline():
+    """split_rope_prep (q/k columns permuted to split-half rope layout,
+    models/gptj.py) must leave decode OUTPUTS unchanged: attention scores
+    are permutation-invariant and v/o are untouched. Runs the full
+    stacked pipeline with head_dim 256 > n_rot 64 (the GPT-J geometry
+    where the reference's rotate-past-n_dims quirk is live)."""
+    cfg = gptj.GPTJConfig(n_vocab=160, n_ctx=256, n_embd=2 * 256, n_head=2,
+                          n_layer=L, n_rot=64)
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+
+    base = gptj.stack_model(gptj.fuse_out(gptj.fuse_qkv(
+        gptj.synthetic_params_device(cfg, GGMLType.Q4_0, seed=7))))
+    b_cache = gptj.init_cache(cfg, dtype="q8_0", flat=True)
+    b_toks, b_logits = _decode_tokens(cfg, base, b_cache, prompt, 6)
+
+    sp = gptj.stack_model(gptj.fuse_out(gptj.fuse_qkv(gptj.split_rope_prep(
+        gptj.synthetic_params_device(cfg, GGMLType.Q4_0, seed=7), cfg))))
+    assert "rope_split" in sp
+    s_cache = gptj.init_cache(cfg, dtype="q8_0", flat=True)
+    s_toks, s_logits = _decode_tokens(cfg, sp, s_cache, prompt, 6)
+
+    assert s_toks == b_toks
+    np.testing.assert_allclose(np.asarray(s_logits), np.asarray(b_logits),
+                               rtol=0, atol=2e-2)   # dot-order reassociation
+
+
+def test_split_rope_unfused_bit_exact():
+    """Without kernels in the way (f32 compute, unfused weights) the
+    permuted model's logits match the baseline's to FMA-contraction
+    rounding (XLA may contract x0*c - x1*s differently per structure)."""
+    from ggml_imax_tpu.ops.rope import rope_split, split_rope_permutation
+    from ggml_imax_tpu.ops import rope as rope_mod
+    rng = np.random.default_rng(0)
+    # op-level identity: P(rope(x)) == rope_split(P(x)), incl. past-n_dims
+    x = jnp.asarray(rng.standard_normal((1, 4, 2, 256)).astype(np.float32))
+    pos = jnp.asarray(np.array([[0, 1, 300, 447]], dtype=np.int32))
+    perm = split_rope_permutation(256)
+    y_ref = rope_mod.rope(x, pos, n_dims=64, mode=0)[..., perm]
+    y_new = rope_split(x[..., perm], pos, n_dims=64)
+    np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_ref),
+                               rtol=0, atol=1e-5)
+
+    cfg = gptj.GPTJConfig(n_vocab=160, n_ctx=64, n_embd=2 * 256, n_head=2,
+                          n_layer=2, n_rot=64)
+    p0 = gptj.synthetic_params(cfg, GGMLType.Q4_0, seed=3)
+    toks = jnp.asarray(rng.integers(0, 160, size=(1, 16)).astype(np.int32))
+    posi = jnp.arange(16, dtype=jnp.int32)[None]
+    c0 = gptj.init_cache(cfg, batch=1, n_ctx=64, dtype=jnp.float32)
+    l0, _ = gptj.forward(cfg, p0, toks, posi, c0, 0,
+                         compute_dtype=jnp.float32)
+    p1 = gptj.split_rope_prep(p0, cfg)
+    c1 = gptj.init_cache(cfg, batch=1, n_ctx=64, dtype=jnp.float32)
+    l1, _ = gptj.forward(cfg, p1, toks, posi, c1, 0,
+                         compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                               rtol=0, atol=1e-4)
+
+
 @pytest.mark.parametrize("kv", ["bf16", "q8_0"])
 def test_fused_update_attention_matches_two_step(kv):
     """decode_attention_update_stacked (ONE kernel: row write + attention,
