@@ -257,6 +257,8 @@ def split_rope_prep(params, cfg: GPTJConfig):
     reassociation. Call BEFORE fuse_qkv / params_repack_device."""
     from ..ops.rope import split_rope_permutation
     from ..quant.device import permute_qtensor_cols
+    if "rope_split" in params:      # idempotent: already permuted
+        return params
     D, H = cfg.head_dim, cfg.n_head
     perm = (np.arange(H)[:, None] * D +
             split_rope_permutation(D)[None, :]).reshape(-1)

@@ -136,6 +136,28 @@ def _normal_tables(p, D, theta_scale, corr_lo, corr_hi, ext_factor,
     return cos_t, sin_t, zeta
 
 
+def _normal_mode_setup(x, pos, n_dims, *, freq_base, freq_scale, ext_factor,
+                       attn_factor, beta_fast, beta_slow, n_orig_ctx, n_ctx,
+                       xpos_base, xpos_down, forward):
+    """Shared normal-mode preamble (defaulting, upcast, tables) for rope()
+    and rope_split() — keeping the two applications on ONE parameter path
+    so the P(rope(x)) == rope_split(P(x)) identity can't silently drift."""
+    D = x.shape[-1]
+    n_dims = n_dims or D
+    assert n_dims % 2 == 0
+    n_orig_ctx = n_orig_ctx or n_ctx or 2048
+    xf = x.astype(jnp.float32)
+    p = pos.astype(jnp.float32)[..., None, None]
+    sin_sign = 1.0 if forward else -1.0
+    theta_scale = freq_base ** (-2.0 / n_dims)
+    corr_lo, corr_hi = yarn_corr_dims(n_dims, n_orig_ctx, freq_base,
+                                      beta_fast, beta_slow)
+    cos_t, sin_t, zeta = _normal_tables(
+        p, D, theta_scale, corr_lo, corr_hi, ext_factor, attn_factor,
+        sin_sign, freq_scale, xpos_base, xpos_down)
+    return xf, cos_t, sin_t, zeta
+
+
 def rope_split(x, pos, n_dims: int | None = None, *,
                freq_base: float = 10000.0, freq_scale: float = 1.0,
                ext_factor: float = 0.0, attn_factor: float = 1.0,
@@ -156,20 +178,14 @@ def rope_split(x, pos, n_dims: int | None = None, *,
     the reference quirk of rotating ALL D/2 pairs past n_dims
     (ggml_rope_cache_init /root/reference/src/ggml.c:13750-13763 fills
     theta over the full ne0)."""
-    D = x.shape[-1]
-    n_dims = n_dims or D
-    assert n_dims % 2 == 0
-    n_orig_ctx = n_orig_ctx or n_ctx or 2048
+    xf, cos_t, sin_t, zeta = _normal_mode_setup(
+        x, pos, n_dims, freq_base=freq_base, freq_scale=freq_scale,
+        ext_factor=ext_factor, attn_factor=attn_factor,
+        beta_fast=beta_fast, beta_slow=beta_slow, n_orig_ctx=n_orig_ctx,
+        n_ctx=n_ctx, xpos_base=xpos_base, xpos_down=xpos_down,
+        forward=forward)
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    p = pos.astype(jnp.float32)[..., None, None]
-    sin_sign = 1.0 if forward else -1.0
-    theta_scale = freq_base ** (-2.0 / n_dims)
-    corr_lo, corr_hi = yarn_corr_dims(n_dims, n_orig_ctx, freq_base,
-                                      beta_fast, beta_slow)
-    cos_t, sin_t, zeta = _normal_tables(
-        p, D, theta_scale, corr_lo, corr_hi, ext_factor, attn_factor,
-        sin_sign, freq_scale, xpos_base, xpos_down)
+    D = x.shape[-1]
     x0 = xf[..., : D // 2]
     x1 = xf[..., D // 2:]
     # same op association as rope()'s interleaved application so the two

@@ -51,23 +51,29 @@ VOCAB = int(os.environ.get("GGML_DIAG_VOCAB", "50400"))
 _real_attn = gptj.attention
 _real_ln = gptj.layer_norm
 _real_rope = gptj.rope
-_real_qmm = gptj.qmatmul
+_real_rope_split = gptj.rope_split   # the split-layout default path —
+_real_qmm = gptj.qmatmul             # must be ablated alongside gptj.rope
+
+VARIANTS = ("full", "noattn", "noelem", "nolmh", "noln", "norope")
 
 
 def set_variant(name):
+    assert name in VARIANTS, f"unknown variant {name!r} (choose {VARIANTS})"
     gptj.attention = _real_attn
     gptj.layer_norm = _real_ln
     gptj.rope = _real_rope
+    gptj.rope_split = _real_rope_split
     gptj.qmatmul = _real_qmm
     if name in ("noattn", "noelem"):
         gptj.attention = lambda q, k, v, mask, **kw: q.astype(jnp.float32)
-    if name == "noelem":
-        gptj.layer_norm = lambda x, g, b: x
+    if name in ("noelem", "norope"):   # rope share (norope) / all elementwise
         gptj.rope = lambda x, pos, **kw: x
-    if name == "noln":        # splits the noelem delta: LN share only
+        gptj.rope_split = lambda x, pos, **kw: x
+    if name in ("noelem", "noln"):     # LN share (noln) / all elementwise
         gptj.layer_norm = lambda x, g, b: x
-    if name == "norope":      # ... and the rope share only
-        gptj.rope = lambda x, pos, **kw: x
+    if name == "nolmh":
+        gptj.qmatmul = lambda x, qt, **kw: \
+            jnp.zeros(x.shape[:-1] + (qt.n,), jnp.float32)
     if name == "nolmh":
         gptj.qmatmul = lambda x, qt, **kw: \
             jnp.zeros(x.shape[:-1] + (qt.n,), jnp.float32)

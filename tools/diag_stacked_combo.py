@@ -71,6 +71,7 @@ _real_attn = da.decode_attention_stacked
 _gptj_update = gptj.update_kv
 _real_ln = gptj.layer_norm
 _real_rope = gptj.rope
+_real_rope_split = gptj.rope_split   # split-layout default (split_rope_prep)
 
 
 def set_variant(name):
@@ -79,6 +80,7 @@ def set_variant(name):
     da.decode_attention_stacked = _real_attn
     gptj.layer_norm = _real_ln
     gptj.rope = _real_rope
+    gptj.rope_split = _real_rope_split
     import ggml_imax_tpu.ops.qmatmul as qm
     qm._force_fused = False
     os.environ["GGML_FUSED_KV_UPDATE"] = "1" if name == "full" else "0"
@@ -96,6 +98,7 @@ def set_variant(name):
         gptj.update_kv = fake_upd
         gptj.layer_norm = lambda x, g, b: x
         gptj.rope = lambda x, pos, **kw: x
+        gptj.rope_split = lambda x, pos, **kw: x
     if name == "xlaattn":
         force_xla = True
     return force_xla

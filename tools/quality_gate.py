@@ -237,7 +237,7 @@ def main():
                     help="ignore the cached trained params")
     ap.add_argument("--geometry", choices=("small", "mid"), default="small",
                     help="small = 2L/128E/64V (CPU-trainable); mid = "
-                         "12L/768E/512V (GPT-2-117M scale, VERDICT r03 "
+                         "12L/768E/128V (GPT-2-117M scale, VERDICT r03 "
                          "item 4 — train it on the chip via --train-only "
                          "with GGML_QGATE_PLATFORM=default first)")
     ap.add_argument("--train-only", action="store_true",
@@ -279,7 +279,8 @@ def main():
     lang_tag = f"V{VOCAB}" + ("z" if SUCC_ZIPF is not None else "")
     cache_f = Path(__file__).resolve().parents[1] / ".jax_cache" / \
         f"qgate_params_{cfg.n_layer}L{cfg.n_embd}E_{lang_tag}_{steps}.pkl"
-    if cache_f.exists() and not args.retrain:
+    trained_fresh = not (cache_f.exists() and not args.retrain)
+    if not trained_fresh:
         import pickle
         print(f"# loading trained params from {cache_f}", file=sys.stderr)
         params = pickle.loads(cache_f.read_bytes())
@@ -391,6 +392,19 @@ def main():
         marker = "\n## TPU kernel-path row"
         if marker in old:
             tpu_rows = old[old.index(marker):]
+            if trained_fresh and "**STALE**" not in tpu_rows:
+                # the carried rows were measured against the PREVIOUS
+                # weights/bundles — flag INSIDE the section (so a fresh
+                # quality_tpu_row run, which truncates at the marker and
+                # re-appends, clears the flag) until the qrow stage reruns
+                nl = tpu_rows.index("\n", 1)
+                note = ("\n\n**STALE**: these kernel-path rows were "
+                        "measured against a previous proxy model; the "
+                        "table above was just retrained. Re-run "
+                        "tools/run_chip_batch.sh "
+                        + ("qrow_mid" if args.geometry == "mid"
+                           else "qrow") + ".")
+                tpu_rows = tpu_rows[:nl] + note + tpu_rows[nl:]
     with open(out, "w") as f:
         f.write(
             "# Quantization quality gate — whole-model PPL delta / logits KL\n\n"
