@@ -320,6 +320,16 @@ def main():
                               n_head=12, n_layer=12)
         measure("gpt2-117m-q4_0", gpt2, cfg, gpt2_params(cfg, GGMLType.Q4_0),
                 baseline_ms=5.0)
+    if sel("gpt2-345m-q4_0"):
+        cfg = gpt2.GPT2Config(n_vocab=50304, n_ctx=1024, n_embd=1024,
+                              n_head=16, n_layer=24)
+        measure("gpt2-345m-q4_0", gpt2, cfg, gpt2_params(cfg, GGMLType.Q4_0),
+                baseline_ms=12.0)
+    if sel("gpt2-774m-q4_0"):
+        cfg = gpt2.GPT2Config(n_vocab=50304, n_ctx=1024, n_embd=1280,
+                              n_head=20, n_layer=36)
+        measure("gpt2-774m-q4_0", gpt2, cfg, gpt2_params(cfg, GGMLType.Q4_0),
+                baseline_ms=23.0)
     if sel("gpt2-1558m-q8_0"):
         cfg = gpt2.GPT2Config(n_vocab=50304, n_ctx=1024, n_embd=1600,
                               n_head=25, n_layer=48)

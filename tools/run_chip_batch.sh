@@ -46,6 +46,8 @@ stage() {
     gpt2)           run gpt2_117m 2400 python tools/bench_models.py gpt2-117m-q4_0
                     run gpt2_1558m_q8 2400 python tools/bench_models.py gpt2-1558m-q8_0
                     run gpt2_1558m_q5k 2400 python tools/bench_models.py gpt2-1558m-q5_k ;;
+    gpt2_mid)       run gpt2_345m 2400 python tools/bench_models.py gpt2-345m-q4_0
+                    run gpt2_774m 2400 python tools/bench_models.py gpt2-774m-q4_0 ;;
     batch)          run batch4 2400 python -u bench.py --batch=4
                     run batch8 2400 python -u bench.py --batch=8 --kv=q8_0 ;;
     qgate_mid_train) GGML_QGATE_PLATFORM=default run qgate_mid_train 3600 \
